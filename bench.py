@@ -1,0 +1,58 @@
+"""Benchmark: Cornell Box @160x90 terminal cells on one TPU chip.
+
+Reproduces BASELINE.json config #1 (the default reference scene at the
+reference's cell geometry: 160x90 cells = 160x180 traced pixels, 1 diffuse
+bounce + per-light shadow rays, TAA + à-trous + tone map + ANSI quantize all
+on device). Prints ONE JSON line:
+
+    {"metric": ..., "value": Mrays/s/chip, "unit": "Mray/s",
+     "vs_baseline": value / 500}
+
+The 500 Mray/s denominator is the BASELINE.json north-star target (the
+reference itself publishes no numbers, BASELINE.md).
+"""
+
+import json
+import time
+
+import jax
+
+
+def main():
+    from yetanotherconsolegameengine_tpu.render.renderer import RaytraceRenderer
+    from yetanotherconsolegameengine_tpu.scene.builders import build_cornell_box
+
+    fb_w, fb_h = 160, 90
+    scene = build_cornell_box()
+    r = RaytraceRenderer(scene, fb_w=fb_w, fb_h=fb_h, ss=1)
+
+    # Warmup: compile + let TAA history settle.
+    out = r.render()
+    jax.block_until_ready(out.top_rgb)
+    rays_per_frame = int(out.rays_traced)
+    for _ in range(5):
+        out = r.render()
+    jax.block_until_ready(out.top_rgb)
+
+    n = 60
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = r.render()
+    jax.block_until_ready(out.top_rgb)
+    dt = (time.perf_counter() - t0) / n
+
+    fps = 1.0 / dt
+    mrays = rays_per_frame * fps / 1e6
+    result = {
+        "metric": (f"Mrays/s/chip, Cornell Box @{fb_w}x{fb_h} cells "
+                   f"({fb_w}x{fb_h*2} px, {rays_per_frame} rays/frame, "
+                   f"{fps:.1f} fps)"),
+        "value": round(mrays, 2),
+        "unit": "Mray/s",
+        "vs_baseline": round(mrays / 500.0, 4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

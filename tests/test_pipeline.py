@@ -1,0 +1,94 @@
+"""End-to-end frame pipeline tests: frame_step on bundled scenes, TAA
+state threading, resets, and output ranges."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yetanotherconsolegameengine_tpu.core.camera import CameraPose
+from yetanotherconsolegameengine_tpu.render import renderer as R
+from yetanotherconsolegameengine_tpu.scene import builders
+
+FB_W, FB_H = 48, 24
+
+
+def make(scene_name):
+    scene = builders.SCENE_BUILDERS[scene_name]()
+    step = jax.jit(functools.partial(R.frame_step, fb_w=FB_W, fb_h=FB_H, ss=1))
+    return scene, step, R.init_state(FB_W, FB_H, 1)
+
+
+def test_cornell_frame_finite_and_ranged():
+    scene, step, state = make("cornell")
+    out, state = step(scene, scene.default_pose, state)
+    top = np.asarray(out.top_rgb)
+    assert top.shape == (FB_H, FB_W, 3)
+    assert np.isfinite(top).all()
+    assert top.max() > 0.05             # something is lit
+    fg = np.asarray(out.fg_ansi)
+    assert ((fg >= 16) & (fg <= 255)).all()
+    assert int(state.frame_idx) == 1
+
+
+def test_taa_accumulates_when_camera_still():
+    scene, step, state = make("cornell")
+    cam = scene.default_pose
+    out1, state = step(scene, cam, state)
+    h1 = np.asarray(state.history)
+    for _ in range(3):
+        out, state = step(scene, cam, state)
+    h4 = np.asarray(state.history)
+    assert bool(state.history_valid)
+    # History evolves slowly (EMA alpha=0.01), not replaced wholesale.
+    assert not np.allclose(h1, h4)
+    assert np.abs(h4 - h1).mean() < 0.25
+
+
+def test_taa_resets_on_camera_motion():
+    scene, step, state = make("cornell")
+    cam = scene.default_pose
+    for _ in range(3):
+        out, state = step(scene, cam, state)
+    moved = CameraPose.create(
+        (np.asarray(cam.pos) + np.asarray([0.5, 0, 0])), cam.yaw, cam.pitch,
+        cam.fov_deg)
+    out_m, state_m = step(scene, moved, state)
+    # After a move, the blend must be a full reset: history == current frame,
+    # which differs substantially from the old accumulated history.
+    assert float(jnp.abs(state_m.last_cam[0] - moved.pos[0])) < 1e-6
+
+
+def test_all_registered_scenes_render():
+    for name, build in builders.SCENE_BUILDERS.items():
+        scene = build()
+        step = jax.jit(functools.partial(R.frame_step, fb_w=24, fb_h=12, ss=1))
+        out, _ = step(scene, scene.default_pose, R.init_state(24, 12, 1))
+        top = np.asarray(out.top_rgb)
+        assert np.isfinite(top).all(), name
+        assert ((top >= 0) & (top <= 1)).all(), name
+
+
+def test_supersampling_shapes():
+    scene = builders.build_cornell_box()
+    step = jax.jit(functools.partial(R.frame_step, fb_w=16, fb_h=8, ss=2))
+    out, state = step(scene, scene.default_pose, R.init_state(16, 8, 2))
+    assert np.asarray(out.top_rgb).shape == (8, 16, 3)
+    assert np.asarray(state.history).shape == (8 * 2 * 2, 16 * 2, 3)
+
+
+def test_renderer_wrapper_roundtrip():
+    scene = builders.build_test_scene()
+    r = R.RaytraceRenderer(scene, fb_w=24, fb_h=12, ss=1)
+    out = r.render()
+    assert np.isfinite(np.asarray(out.top_rgb)).all()
+    r.set_camera((0.0, 1.0, 1.0), 0.1, -0.05)
+    out = r.render()
+    assert int(r.state.frame_idx) == 2
+    r.resize(16, 8)
+    out = r.render()
+    assert np.asarray(out.top_rgb).shape == (8, 16, 3)
+    r.set_scene(builders.build_cornell_box())
+    out = r.render()
+    assert np.isfinite(np.asarray(out.top_rgb)).all()

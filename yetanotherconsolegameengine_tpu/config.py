@@ -1,0 +1,66 @@
+"""Render-quality constants and engine configuration.
+
+Mirrors the compile-time constants of the reference renderer
+(/root/reference/ConsoleGame/RayTracing/RaytraceRenderer.cs:31-44) and the
+knob surface catalogued in SURVEY.md §5 ("Config / flag system").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static (trace-time constant) quality knobs for the frame step.
+
+    These become Python-level constants inside the jitted frame program, so
+    changing any of them triggers a recompile — exactly the role they play as
+    `const` fields in the reference (RaytraceRenderer.cs:31-44).
+    """
+
+    diffuse_bounces: int = 1
+    indirect_samples: int = 1
+    max_mirror_bounces: int = 2
+    max_refractions: int = 2
+    mirror_threshold: float = 0.9
+    eps: float = 1e-4
+    seed_salt: int = 0x9E3779B97F4A7C15
+
+    # Temporal AA (RaytraceRenderer.cs:41-43, TemporalAA.cs)
+    taa_alpha: float = 0.01
+    motion_trans_reset: float = 0.0025
+    motion_rot_reset: float = 0.0025
+    taa_clamp_radius: int = 1
+    taa_luminance_pad: float = 0.10
+
+    # À-trous denoise (RaytraceRenderer.cs:221-224)
+    atrous_iterations: int = 3
+    atrous_c_phi: float = 3.0
+    atrous_n_phi: float = 0.35
+    atrous_z_phi: float = 2.0
+    atrous_a_phi: float = 0.20
+
+    # Oren–Nayar roughness (RaytraceRenderer.cs:65)
+    diffuse_sigma_deg: float = 25.0
+
+    # Tone mapping (ToneMapper.cs:8-21)
+    tone_exposure: float = 1.0
+    tone_gamma: float = 2.2
+    auto_exposure: bool = True
+    ae_key: float = 0.18
+    ae_speed: float = 0.2
+    ae_min: float = 0.10
+    ae_max: float = 1.50
+    tone_saturation: float = 2.0
+    tone_vibrance: float = 0.0
+
+    # Wavefront loop cap: the reference's explicit path stack holds 16 items
+    # (RaytraceRenderer.cs:450); with its push discipline (refraction events
+    # push <=2 children up to mirror depth 2) plus in-place mirror/diffuse
+    # continuations, no path needs more than this many trace rounds.
+    max_trace_rounds: int = 24
+    path_stack_size: int = 16
+
+
+DEFAULT_CONFIG = RenderConfig()

@@ -1,0 +1,319 @@
+"""Wavefront path tracing: the whole pixel grid advances in lockstep.
+
+The reference traces each pixel independently with an explicit 16-slot work
+stack and nested mirror/diffuse loops
+(/root/reference/ConsoleGame/RayTracing/RaytraceRenderer.cs:448-620,
+``TraceFull``). TPU lanes execute in lockstep, so the recursion is
+re-expressed as a *wavefront*: every pixel carries (current ray, throughput,
+depth counters, a fixed-size stack, an RNG state) as device arrays, and one
+``lax.while_loop`` round performs, for ALL pixels at once:
+
+  scene intersect -> sky/emission accumulation -> branch classification
+  (refraction push / mirror continue / diffuse shade + bounce) -> stack pop.
+
+The loop runs until every pixel's stack is empty (bounded by the same depth
+caps as the reference: 1 diffuse bounce, 2 mirror/refraction events, 16
+stack slots), so the worst case is small and static — the property that
+makes the reference's design map onto masked fixed-trip loops with no
+semantic loss.
+
+Shading semantics reproduced exactly: Oren–Nayar direct lighting with
+inverse-square falloff (RaytraceRenderer.cs:810-831), Schlick Fresnel
+reflect+refract splitting (:737-755), colored shadow transmittance through
+transparent media capped at MaxRefractions re-hits (:757-798), vertical
+sky-gradient miss shading (:474-486), emission accumulation (:500-504).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+from ..core import sampler
+from ..scene.materials import gather_material, sample_albedo
+from .intersect import INF, intersect_scene
+
+_EPS = 1e-4  # RaytraceRenderer.Eps
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+def reflect(v, n):
+    return v - n * (2.0 * _dot(v, n))[..., None]
+
+
+def refract(v, n, eta):
+    """Snell refraction; returns (has_refract, dir) (RaytraceRenderer.cs:737-748)."""
+    cosi = -jnp.clip(_dot(v, n), -1.0, 1.0)
+    k = 1.0 - eta * eta * (1.0 - cosi * cosi)
+    has = k >= 0.0
+    d = v * eta[..., None] + n * (eta * cosi - jnp.sqrt(jnp.maximum(k, 0.0)))[..., None]
+    return has, d
+
+
+def fresnel_schlick(cos_theta, eta_i, eta_t):
+    r0 = ((eta_i - eta_t) / (eta_i + eta_t)) ** 2
+    return r0 + (1.0 - r0) * (1.0 - cos_theta) ** 5
+
+
+def _normalize(v):
+    return v / jnp.sqrt(jnp.maximum(1e-20, jnp.sum(v * v, axis=-1, keepdims=True)))
+
+
+def oren_nayar(albedo, n, wo, wi, sigma_rad: float):
+    """Oren–Nayar diffuse BRDF (RaytraceRenderer.cs:810-831), saturated."""
+    cos_i = jnp.maximum(0.0, _dot(n, wi))
+    cos_o = jnp.maximum(0.0, _dot(n, wo))
+    sin_i = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_i * cos_i))
+    sin_o = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_o * cos_o))
+    proj_i = _normalize(wi - n * cos_i[..., None])
+    proj_o = _normalize(wo - n * cos_o[..., None])
+    cos_phi = jnp.maximum(0.0, _dot(proj_i, proj_o))
+    s2 = sigma_rad * sigma_rad
+    a = 1.0 - s2 / (2.0 * (s2 + 0.33))
+    b = 0.45 * s2 / (s2 + 0.09)
+    sin_alpha = jnp.maximum(sin_i, sin_o)
+    tan_beta = jnp.minimum(sin_i / jnp.maximum(1e-6, cos_i),
+                           sin_o / jnp.maximum(1e-6, cos_o))
+    on = a + b * cos_phi * sin_alpha * tan_beta
+    f = albedo * (on * (1.0 / math.pi))[..., None]
+    zero = (cos_i <= 0.0) | (cos_o <= 0.0)
+    return jnp.where(zero[..., None], 0.0, jnp.clip(f, 0.0, 1.0))
+
+
+def transmittance_to_lights(scene, so, sd, max_dist, need, cfg: RenderConfig):
+    """Colored transmittance along shadow rays, or binary occlusion for voxel
+    worlds (RaytraceRenderer.ComputeTransmittanceToLight, :757-798).
+
+    so/sd: (R, 3) shadow rays; max_dist: (R,); ``need`` marks lanes whose
+    result is semantically used (for the ray-count telemetry only).
+    Returns ((R, 3) transmittance, traced-ray count).
+    """
+    if scene.binary_shadows:
+        h = intersect_scene(scene, so, sd, 1e-3, max_dist)
+        return (jnp.where(h.hit[:, None], 0.0, jnp.ones_like(so)),
+                jnp.sum(need.astype(jnp.int32)))
+
+    trans = jnp.ones_like(so)
+    done = jnp.zeros(so.shape[0], bool)
+    tmin = jnp.full(so.shape[0], _EPS, jnp.float32)
+    rays = jnp.int32(0)
+    for _ in range(cfg.max_refractions):
+        rays = rays + jnp.sum((need & ~done).astype(jnp.int32))
+        h = intersect_scene(scene, so, sd, tmin, max_dist)
+        m = gather_material(scene.materials, h.mat)
+        opaque = h.hit & (m.transparency <= 0.0) & ~done
+        trans = jnp.where(opaque[:, None], 0.0, trans)
+        through = h.hit & (m.transparency > 0.0) & ~done
+        tint = m.transmission * m.transparency[:, None]
+        trans = jnp.where(through[:, None], trans * tint, trans)
+        faded = jnp.all(trans <= 1e-6, axis=-1)
+        done = done | ~h.hit | opaque | faded
+        tmin = jnp.where(done, tmin, h.t + _EPS)
+    trans = jnp.where(jnp.all(trans <= 1e-6, axis=-1, keepdims=True), 0.0, trans)
+    return trans, rays
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TraceResult:
+    radiance: jax.Array     # (P, 3) linear HDR
+    is_sky: jax.Array       # (P,) bool
+    albedo: jax.Array       # (P, 3) G-buffer
+    normal: jax.Array       # (P, 3)
+    depth: jax.Array        # (P,)
+    rays_traced: jax.Array  # () i32 — semantic rays (primary+bounce+shadow)
+
+
+def trace_all(scene, o0, d0, rng0, cfg: RenderConfig) -> TraceResult:
+    """Trace every pixel's full path tree. o0/d0: (P, 3); rng0: u64 pair (P,)."""
+    P = o0.shape[0]
+    S = cfg.path_stack_size
+    sigma_rad = cfg.diffuse_sigma_deg * math.pi / 180.0
+    f3 = lambda: jnp.zeros((P, 3), jnp.float32)
+
+    state = dict(
+        o=o0, d=d0, beta=jnp.ones((P, 3), jnp.float32),
+        mirror=jnp.zeros(P, jnp.int32), diffuse=jnp.zeros(P, jnp.int32),
+        is_primary=jnp.ones(P, bool), active=jnp.ones(P, bool),
+        sp=jnp.zeros(P, jnp.int32),
+        st_o=jnp.zeros((S, P, 3), jnp.float32),
+        st_d=jnp.zeros((S, P, 3), jnp.float32),
+        st_beta=jnp.zeros((S, P, 3), jnp.float32),
+        st_mirror=jnp.zeros((S, P), jnp.int32),
+        st_diffuse=jnp.zeros((S, P), jnp.int32),
+        radiance=f3(), primary_hit=jnp.zeros(P, bool),
+        is_sky=jnp.zeros(P, bool),
+        g_albedo=f3(), g_normal=f3(),
+        g_depth=jnp.full(P, INF, jnp.float32),
+        g_valid=jnp.zeros(P, bool),
+        rng_hi=rng0[0], rng_lo=rng0[1],
+        round=jnp.int32(0), rays=jnp.int32(0),
+    )
+
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (S, P), 0)
+
+    def push(st, mask, item_o, item_d, item_beta, item_mirror, item_diffuse):
+        mask = mask & (st["sp"] < S)
+        sel = (slot_iota == st["sp"][None, :]) & mask[None, :]
+        sel3 = sel[..., None]
+        st["st_o"] = jnp.where(sel3, item_o[None], st["st_o"])
+        st["st_d"] = jnp.where(sel3, item_d[None], st["st_d"])
+        st["st_beta"] = jnp.where(sel3, item_beta[None], st["st_beta"])
+        st["st_mirror"] = jnp.where(sel, item_mirror[None], st["st_mirror"])
+        st["st_diffuse"] = jnp.where(sel, item_diffuse[None], st["st_diffuse"])
+        st["sp"] = st["sp"] + mask.astype(jnp.int32)
+        return st
+
+    def cond(st):
+        return jnp.any(st["active"]) & (st["round"] < cfg.max_trace_rounds)
+
+    def body(st):
+        o, d, beta = st["o"], st["d"], st["beta"]
+        active = st["active"]
+        st["rays"] = st["rays"] + jnp.sum(active.astype(jnp.int32))
+
+        hit = intersect_scene(scene, o, d, 1e-3, INF)
+        m = gather_material(scene.materials, hit.mat)
+        p = o + hit.t[:, None] * d
+        uv = jnp.stack([hit.u, hit.v], axis=-1)
+        base_albedo = sample_albedo(m, p, uv, scene.textures)
+
+        # ---- miss: vertical sky gradient -----------------------------------
+        miss = active & ~hit.hit
+        tbg = 0.5 * (d[:, 1] + 1.0)
+        sky = scene.bg_bottom * (1.0 - tbg[:, None]) + scene.bg_top * tbg[:, None]
+        st["radiance"] = st["radiance"] + jnp.where(miss[:, None], beta * sky, 0.0)
+        primary_miss = miss & st["is_primary"] & ~st["primary_hit"]
+        st["is_sky"] = st["is_sky"] | primary_miss
+        st["g_valid"] = st["g_valid"] | primary_miss
+
+        # ---- hit bookkeeping ------------------------------------------------
+        hit_now = active & hit.hit
+        primary_now = hit_now & st["is_primary"]
+        st["primary_hit"] = st["primary_hit"] | primary_now
+        fill_g = primary_now & ~st["g_valid"]
+        fg = fill_g[:, None]
+        st["g_albedo"] = jnp.where(fg, base_albedo, st["g_albedo"])
+        st["g_normal"] = jnp.where(fg, hit.n, st["g_normal"])
+        st["g_depth"] = jnp.where(fill_g, hit.t, st["g_depth"])
+        st["g_valid"] = st["g_valid"] | fill_g
+        st["is_primary"] = st["is_primary"] & ~hit_now
+
+        st["radiance"] = st["radiance"] + jnp.where(
+            hit_now[:, None], beta * m.emission, 0.0)
+
+        # ---- branch classification -----------------------------------------
+        transparent = hit_now & (m.transparency > 0.0)
+        can_bounce = st["mirror"] < cfg.max_mirror_bounces
+        mirror = (hit_now & ~transparent
+                  & (m.reflectivity >= cfg.mirror_threshold))
+        diffuse = hit_now & ~transparent & ~mirror
+
+        # ---- transparent: Fresnel-weighted reflect + refract pushes ---------
+        tr_act = transparent & can_bounce
+        n = hit.n
+        front = _dot(n, d) < 0.0
+        nl = jnp.where(front[:, None], n, -n)
+        eta_i = jnp.where(front, 1.0, m.ior)
+        eta_t = jnp.where(front, m.ior, 1.0)
+        eta = eta_i / eta_t
+        refl_dir = _normalize(reflect(d, nl))
+        has_refr, refr_dir = refract(d, nl, eta)
+        cos_theta = jnp.abs(_dot(nl, -d))
+        fres = fresnel_schlick(cos_theta, eta_i, eta_t)
+        tr_amt = jnp.clip(m.transparency, 0.0, 1.0)
+        t_w = jnp.where(has_refr, (1.0 - fres) * tr_amt, 0.0)
+        r_w = jnp.clip(fres + m.reflectivity * (1.0 - fres), 0.0, 1.0)
+
+        st = push(st, tr_act & (r_w > 0.0),
+                  p + nl * _EPS, refl_dir,
+                  beta * base_albedo * r_w[:, None],
+                  st["mirror"] + 1, st["diffuse"])
+        st = push(st, tr_act & (t_w > 0.0),
+                  p - nl * _EPS, _normalize(refr_dir),
+                  beta * m.transmission * t_w[:, None],
+                  st["mirror"] + 1, st["diffuse"])
+
+        # ---- diffuse: ambient + direct lights + one cosine bounce -----------
+        wo = -d
+        amb = (scene.ambient_color * scene.ambient_intensity) * base_albedo
+        st["radiance"] = st["radiance"] + jnp.where(diffuse[:, None], beta * amb, 0.0)
+
+        lt = scene.lights
+        L = lt.mask.shape[0]
+        if L > 0:
+            to_l = lt.pos[None] - p[:, None, :]                 # (P, L, 3)
+            dist2 = jnp.maximum(1e-12, jnp.sum(to_l * to_l, axis=-1))
+            dist = jnp.sqrt(dist2)
+            ldir = to_l / dist[..., None]
+            ndotl = jnp.maximum(0.0, jnp.einsum("pk,plk->pl", hit.n, ldir))
+            need = diffuse[:, None] & lt.mask[None] & (ndotl > 0.0)
+
+            so = jnp.broadcast_to((p + hit.n * _EPS)[:, None, :],
+                                  (P, L, 3)).reshape(P * L, 3)
+            sd = ldir.reshape(P * L, 3)
+            trans, shadow_rays = transmittance_to_lights(
+                scene, so, sd, (dist - _EPS).reshape(P * L),
+                need.reshape(P * L), cfg)
+            trans = trans.reshape(P, L, 3)
+            st["rays"] = st["rays"] + shadow_rays
+
+            atten = lt.intensity[None] / dist2
+            f_on = oren_nayar(base_albedo[:, None, :],
+                              hit.n[:, None, :], wo[:, None, :],
+                              ldir, sigma_rad)
+            contrib = (f_on * ndotl[..., None] * lt.color[None]
+                       * atten[..., None] * trans)
+            contrib = jnp.where(need[..., None], contrib, 0.0)
+            st["radiance"] = st["radiance"] + beta * jnp.sum(contrib, axis=1)
+
+        want_bounce = diffuse & (st["diffuse"] < cfg.diffuse_bounces)
+        rng = (st["rng_hi"], st["rng_lo"])
+        new_rng, bounce_dir = sampler.cosine_sample_hemisphere(hit.n, rng)
+        st["rng_hi"] = jnp.where(want_bounce, new_rng[0], st["rng_hi"])
+        st["rng_lo"] = jnp.where(want_bounce, new_rng[1], st["rng_lo"])
+        f_bounce = oren_nayar(base_albedo, hit.n, wo, bounce_dir, sigma_rad)
+        bounce_beta = beta * f_bounce * jnp.float32(math.pi)
+
+        # ---- continue in place vs pop ---------------------------------------
+        mirror_cont = mirror & can_bounce
+        cont = mirror_cont | want_bounce
+        o_new = p + n * _EPS
+        d_new = jnp.where(mirror_cont[:, None], _normalize(reflect(d, n)),
+                          bounce_dir)
+        beta_new = jnp.where(mirror_cont[:, None], beta * base_albedo,
+                             bounce_beta)
+        c3 = cont[:, None]
+        st["o"] = jnp.where(c3, o_new, o)
+        st["d"] = jnp.where(c3, d_new, d)
+        st["beta"] = jnp.where(c3, beta_new, beta)
+        st["mirror"] = st["mirror"] + mirror_cont.astype(jnp.int32)
+        st["diffuse"] = st["diffuse"] + want_bounce.astype(jnp.int32)
+
+        ended = active & ~cont
+        can_pop = ended & (st["sp"] > 0)
+        idx = jnp.maximum(st["sp"] - 1, 0)
+        take = lambda a: jnp.take_along_axis(
+            a, idx[None, :, None] if a.ndim == 3 else idx[None, :], axis=0)[0]
+        pm3 = can_pop[:, None]
+        st["o"] = jnp.where(pm3, take(st["st_o"]), st["o"])
+        st["d"] = jnp.where(pm3, take(st["st_d"]), st["d"])
+        st["beta"] = jnp.where(pm3, take(st["st_beta"]), st["beta"])
+        st["mirror"] = jnp.where(can_pop, take(st["st_mirror"]), st["mirror"])
+        st["diffuse"] = jnp.where(can_pop, take(st["st_diffuse"]), st["diffuse"])
+        st["sp"] = st["sp"] - can_pop.astype(jnp.int32)
+        st["active"] = active & (cont | can_pop)
+        st["round"] = st["round"] + 1
+        return st
+
+    st = jax.lax.while_loop(cond, body, state)
+    return TraceResult(radiance=st["radiance"], is_sky=st["is_sky"],
+                       albedo=st["g_albedo"], normal=st["g_normal"],
+                       depth=st["g_depth"], rays_traced=st["rays"])

@@ -1,0 +1,207 @@
+"""The frame engine: one jitted device program per frame.
+
+TPU-first restructuring of the reference's frame procedure
+(/root/reference/ConsoleGame/RayTracing/RaytraceRenderer.cs:157-267,
+``TryFlipAndBlit``): the five serial stages — jittered ray generation,
+path trace, temporal blend, à-trous denoise, auto-exposure/tone-map +
+half-block downsample — fuse into a single ``jit``-compiled function
+``frame_step`` whose inputs are the scene tables, a camera pose, and a
+device-resident ``FrameState`` (TAA history + guides, exposure EMA, last
+camera, frame counter). The state is donated, so history updates are
+in-place on device; only the quantized cell grids return to the host.
+
+Buffer geometry matches the reference: tracing happens at
+``hi_w = fb_w * ss`` by ``hi_h = fb_h * 2 * ss`` (two vertical pixels per
+character cell — the '▀' half-block trick, RaytraceRenderer.cs:86-87), and
+each cell averages ss*ss traced texels per half (:229-264).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DEFAULT_CONFIG, RenderConfig
+from ..core import sampler
+from ..core.camera import CameraPose, make_jittered_rays
+from ..ops import ansi, atrous, taa, tonemap, trace
+from ..ops.intersect import INF
+from ..scene.tables import SceneData
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FrameState:
+    """Device-resident state threaded through frames (donated)."""
+
+    history: jax.Array       # (hiH, hiW, 3)
+    prev_normal: jax.Array   # (hiH, hiW, 3)
+    prev_depth: jax.Array    # (hiH, hiW)
+    prev_sky: jax.Array      # (hiH, hiW) bool
+    history_valid: jax.Array # () bool
+    ae_exposure: jax.Array   # () f32
+    last_cam: jax.Array      # (3,)
+    last_yaw: jax.Array      # ()
+    last_pitch: jax.Array    # ()
+    have_last: jax.Array     # () bool
+    frame_idx: jax.Array     # () i32
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FrameOutput:
+    """Per-cell results: SDR colors + quantized indices, (fb_h, fb_w[, 3])."""
+
+    top_rgb: jax.Array      # tone-mapped [0,1] — the '▀' foreground color
+    bot_rgb: jax.Array      # background color
+    fg_ansi: jax.Array      # int32 ANSI-256 index
+    bg_ansi: jax.Array
+    rays_traced: jax.Array  # () i32 — telemetry for the HUD / benchmarks
+
+
+def init_state(fb_w: int, fb_h: int, ss: int = 1) -> FrameState:
+    hi_w, hi_h = fb_w * ss, fb_h * 2 * ss
+    f = jnp.zeros((hi_h, hi_w, 3), jnp.float32)
+    return FrameState(
+        history=f, prev_normal=f,
+        prev_depth=jnp.zeros((hi_h, hi_w), jnp.float32),
+        prev_sky=jnp.zeros((hi_h, hi_w), bool),
+        history_valid=jnp.asarray(False),
+        ae_exposure=jnp.asarray(1.0, jnp.float32),
+        last_cam=jnp.zeros(3, jnp.float32),
+        last_yaw=jnp.asarray(0.0, jnp.float32),
+        last_pitch=jnp.asarray(0.0, jnp.float32),
+        have_last=jnp.asarray(False),
+        frame_idx=jnp.asarray(0, jnp.int32),
+    )
+
+
+def frame_step(scene: SceneData, cam: CameraPose, state: FrameState,
+               fb_w: int, fb_h: int, ss: int = 1,
+               cfg: RenderConfig = DEFAULT_CONFIG):
+    """Render one frame. Pure; jit with static (fb_w, fb_h, ss, cfg)."""
+    ss = max(1, ss)
+    hi_w, hi_h = fb_w * ss, fb_h * 2 * ss
+    frame = state.frame_idx + 1
+    frame_idx = frame & 0x7FFFFFFF
+
+    reset = taa.should_reset_history(
+        cam.pos, cam.yaw, cam.pitch,
+        state.last_cam, state.last_yaw, state.last_pitch,
+        state.have_last, cfg)
+    if scene.has_dynamic_textures:
+        reset = jnp.asarray(True)
+
+    # Ray generation (RaytraceRenderer.cs:183-194).
+    o, d = make_jittered_rays(cam, hi_w, hi_h, frame_idx)
+
+    # Per-pixel RNG seeds (RaytraceRenderer.cs:203).
+    px = jax.lax.broadcasted_iota(jnp.uint32, (hi_h, hi_w), 1)
+    py = jax.lax.broadcasted_iota(jnp.uint32, (hi_h, hi_w), 0)
+    seed = sampler.per_frame_seed(px, py, frame_idx, cfg.seed_salt)
+
+    # Path trace the full grid (the hot loop, :201-216).
+    res = trace.trace_all(
+        scene, o.reshape(-1, 3), d.reshape(-1, 3),
+        (seed[0].reshape(-1), seed[1].reshape(-1)), cfg)
+    hdr = res.radiance.reshape(hi_h, hi_w, 3)
+    sky = res.is_sky.reshape(hi_h, hi_w)
+    g_albedo = res.albedo.reshape(hi_h, hi_w, 3)
+    g_normal = res.normal.reshape(hi_h, hi_w, 3)
+    g_depth = jnp.where(res.depth.reshape(hi_h, hi_w) >= INF,
+                        jnp.float32(3.4e38), res.depth.reshape(hi_h, hi_w))
+
+    # Temporal blend (:218) and spatial denoise (:221-224).
+    blended = taa.temporal_blend(hdr, g_normal, g_depth, sky,
+                                 state.history, state.prev_normal,
+                                 state.prev_depth, state.prev_sky,
+                                 state.history_valid, reset, cfg)
+    denoised = atrous.atrous_denoise(blended, g_albedo, g_normal, g_depth,
+                                     sky, cfg)
+
+    # Auto exposure (:226-227).
+    new_ae, exposure = tonemap.update_exposure(
+        denoised, sky, state.ae_exposure, cfg, sample_step=max(2, ss * 2))
+
+    # Half-block downsample + tone map (:229-264).
+    cells = denoised.reshape(fb_h, 2, ss, fb_w, ss, 3).mean(axis=(2, 4))
+    top = tonemap.map_pixels(cells[:, 0], exposure, cfg)
+    bot = tonemap.map_pixels(cells[:, 1], exposure, cfg)
+
+    out = FrameOutput(
+        top_rgb=top, bot_rgb=bot,
+        fg_ansi=ansi.rgb_to_ansi256(top),
+        bg_ansi=ansi.rgb_to_ansi256(bot),
+        rays_traced=res.rays_traced,
+    )
+    new_state = FrameState(
+        history=blended, prev_normal=g_normal, prev_depth=g_depth,
+        prev_sky=sky, history_valid=jnp.asarray(True),
+        ae_exposure=new_ae,
+        last_cam=cam.pos, last_yaw=cam.yaw, last_pitch=cam.pitch,
+        have_last=jnp.asarray(True), frame_idx=frame,
+    )
+    return out, new_state
+
+
+class RaytraceRenderer:
+    """Host-side convenience wrapper: owns the jitted step + frame state.
+
+    Plays the role of the reference's RaytraceRenderer object (buffers +
+    SetCamera/TryFlipAndBlit/Resize, RaytraceRenderer.cs:74-157) with the
+    mutable buffers replaced by a donated FrameState.
+    """
+
+    def __init__(self, scene: SceneData, fb_w: int, fb_h: int, ss: int = 1,
+                 cfg: RenderConfig = DEFAULT_CONFIG,
+                 fov_deg: Optional[float] = None):
+        self.scene = scene
+        self.fb_w, self.fb_h, self.ss = fb_w, fb_h, max(1, ss)
+        self.cfg = cfg
+        self.state = init_state(fb_w, fb_h, self.ss)
+        defaults = scene.defaults
+        self.cam_pos = list(defaults[0:3])
+        self.yaw, self.pitch = defaults[3], defaults[4]
+        self.fov_deg = fov_deg if fov_deg is not None else defaults[5]
+        self._compile()
+
+    def _compile(self):
+        # Buffer donation would let XLA reuse the HBM of the old FrameState,
+        # but some PJRT backends (the axon TPU tunnel) reject donated inputs;
+        # the state is <1 MB at terminal resolutions so we skip donation and
+        # keep a single jit.
+        self._step = jax.jit(
+            functools.partial(frame_step, fb_w=self.fb_w, fb_h=self.fb_h,
+                              ss=self.ss, cfg=self.cfg))
+
+    def set_camera(self, pos, yaw, pitch):
+        self.cam_pos = list(pos)
+        self.yaw, self.pitch = float(yaw), float(pitch)
+
+    def set_fov(self, fov_deg: float):
+        self.fov_deg = float(fov_deg)
+
+    def render(self) -> FrameOutput:
+        cam = CameraPose.create(self.cam_pos, self.yaw, self.pitch,
+                                self.fov_deg)
+        out, self.state = self._step(self.scene, cam, self.state)
+        return out
+
+    def resize(self, fb_w: int, fb_h: int, ss: Optional[int] = None):
+        if ss is not None:
+            self.ss = max(1, ss)
+        self.fb_w, self.fb_h = fb_w, fb_h
+        self.state = init_state(fb_w, fb_h, self.ss)
+        self._compile()
+
+    def set_scene(self, scene: SceneData, reset_camera: bool = True):
+        self.scene = scene
+        self.state = init_state(self.fb_w, self.fb_h, self.ss)
+        if reset_camera:
+            d = scene.defaults
+            self.cam_pos, self.yaw, self.pitch = list(d[0:3]), d[3], d[4]
+            self.fov_deg = d[5]

@@ -1,0 +1,367 @@
+"""Scene as structure-of-arrays tables (the TPU inversion of the reference).
+
+The reference scene is a `List<Hittable>` of virtual objects behind a CPU
+BVH (/root/reference/ConsoleGame/RayTracing/Scenes/Scene.cs:12,66-82). Here a
+scene is one pytree of padded, fixed-shape device arrays — one table per
+primitive type, a material bank, lights, sky — so the whole intersection
+test is a dense, branch-free batch per type. Small scenes don't need a BVH
+at all on TPU (every pixel tests every primitive in lockstep on the VPU);
+triangle meshes get their own flattened BVH (ops/mesh_bvh.py).
+
+Padding: every table is padded to a power-of-two bucket with `mask=False`
+rows, so switching between similar scenes reuses the compiled program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .materials import Material, MaterialBank, MaterialTable
+
+
+def _pad_rows(arr: np.ndarray, n: int) -> np.ndarray:
+    pad = [(0, n - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
+    return np.pad(arr, pad)
+
+
+def _bucket(n: int) -> int:
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
+def _table(cls, count: int, **cols):
+    """Build a padded device table of `cls` from host column lists."""
+    nb = _bucket(max(1, count))
+    mask = np.zeros(nb, np.bool_)
+    mask[:count] = True
+    out = {}
+    for key, (vals, dtype, width) in cols.items():
+        a = (np.asarray(vals, dtype) if count
+             else np.zeros((0, width) if width else 0, dtype))
+        if width and a.ndim == 1:
+            a = a.reshape(0, width)
+        out[key] = jnp.asarray(_pad_rows(a, nb))
+    return cls(mask=jnp.asarray(mask), **out)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SphereTable:
+    center: jax.Array   # (N, 3)
+    radius: jax.Array   # (N,)
+    mat: jax.Array      # (N,) i32
+    mask: jax.Array     # (N,) bool
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BoxTable:
+    bmin: jax.Array     # (N, 3)
+    bmax: jax.Array     # (N, 3)
+    mat: jax.Array
+    mask: jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RectTable:
+    """Axis-aligned rectangles. ``axis`` is the fixed coordinate (0=X for
+    YZRect, 1=Y for XZRect, 2=Z for XYRect); (u, v) span the remaining two
+    axes in ascending order, matching the UV conventions of
+    Objects/Surfaces.cs:145-359."""
+
+    axis: jax.Array     # (N,) i32
+    k: jax.Array        # (N,) fixed-coordinate value
+    u0: jax.Array
+    u1: jax.Array
+    v0: jax.Array
+    v1: jax.Array
+    mat: jax.Array
+    mask: jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CylinderTable:
+    """Y-axis capped cylinders (Objects/BoundedObjects.cs:118-248)."""
+
+    cx: jax.Array
+    cz: jax.Array
+    radius: jax.Array
+    ymin: jax.Array
+    ymax: jax.Array
+    capped: jax.Array   # (N,) bool
+    mat: jax.Array
+    mask: jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DiskTable:
+    center: jax.Array   # (N, 3)
+    normal: jax.Array   # (N, 3) unit
+    radius: jax.Array
+    mat: jax.Array
+    mask: jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PlaneTable:
+    normal: jax.Array   # (N, 3) unit
+    d: jax.Array        # (N,) = dot(normal, point)
+    mat: jax.Array
+    mask: jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TriangleTable:
+    """Triangles in cached-edge SoA (a, e1=b-a, e2=c-a, unit n), the layout
+    of Objects/MeshBVH.cs:76-99 / Triangle.cs:38-45."""
+
+    a: jax.Array        # (N, 3)
+    e1: jax.Array       # (N, 3)
+    e2: jax.Array       # (N, 3)
+    n: jax.Array        # (N, 3)
+    mat: jax.Array
+    mask: jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LightTable:
+    pos: jax.Array       # (L, 3)
+    color: jax.Array     # (L, 3)
+    intensity: jax.Array # (L,)
+    mask: jax.Array      # (L,)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SceneData:
+    """The complete device-resident scene."""
+
+    materials: MaterialTable
+    spheres: SphereTable
+    boxes: BoxTable
+    rects: RectTable
+    cylinders: CylinderTable
+    disks: DiskTable
+    planes: PlaneTable
+    triangles: TriangleTable
+    mesh: Optional[Any]      # ops.mesh_bvh.MeshBVH or None
+    voxels: Optional[Any]    # ops.dda.VoxelWorld or None
+    lights: LightTable
+    ambient_color: jax.Array      # (3,)
+    ambient_intensity: jax.Array  # ()
+    bg_top: jax.Array             # (3,)
+    bg_bottom: jax.Array          # (3,)
+    textures: Optional[jax.Array] # (T, H, W, 3) or None
+
+    # Static metadata (compile-time):
+    name: str = dataclasses.field(metadata=dict(static=True))
+    binary_shadows: bool = dataclasses.field(metadata=dict(static=True))
+    has_dynamic_textures: bool = dataclasses.field(metadata=dict(static=True))
+    defaults: Tuple[float, ...] = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def default_pose(self):
+        from ..core.camera import CameraPose
+        px, py, pz, yaw, pitch, fov = self.defaults
+        return CameraPose.create((px, py, pz), yaw, pitch, fov)
+
+
+class SceneBuilder:
+    """Imperative host-side scene construction -> one SceneData pytree.
+
+    Plays the role of the reference's `Scene` + `Scenes.Build*` helpers
+    (Scenes/Scenes.cs): `add_*` primitives, lights, ambient, sky, camera
+    defaults, then `build()`.
+    """
+
+    def __init__(self, name: str = "scene"):
+        self.name = name
+        self.bank = MaterialBank()
+        self._spheres: list = []
+        self._boxes: list = []
+        self._rects: list = []
+        self._cylinders: list = []
+        self._disks: list = []
+        self._planes: list = []
+        self._triangles: list = []
+        self._lights: list = []
+        self._mesh_tris: list = []   # (a, b, c, mat_id) for the mesh BVH
+        self.voxels = None
+        self.ambient_color = (1.0, 1.0, 1.0)
+        self.ambient_intensity = 0.075
+        self.bg_top = (0.6, 0.8, 1.0)
+        self.bg_bottom = (1.0, 1.0, 1.0)
+        self.textures: list = []
+        self.binary_shadows = False
+        self.has_dynamic_textures = False
+        self.default_pos = (0.0, 1.0, 0.0)
+        self.default_yaw = 0.0
+        self.default_pitch = 0.0
+        self.default_fov = 60.0
+
+    # -- primitives ---------------------------------------------------------
+
+    def _mid(self, mat: Material) -> int:
+        return self.bank.add(mat)
+
+    def add_sphere(self, center, radius, mat: Material):
+        self._spheres.append((tuple(center), float(radius), self._mid(mat)))
+
+    def add_box(self, bmin, bmax, mat: Material):
+        self._boxes.append((tuple(bmin), tuple(bmax), self._mid(mat)))
+
+    def add_rect(self, axis: int, k: float, u0, u1, v0, v1, mat: Material):
+        self._rects.append((axis, k, u0, u1, v0, v1, self._mid(mat)))
+
+    def add_xy_rect(self, x0, x1, y0, y1, z, mat):
+        self.add_rect(2, z, x0, x1, y0, y1, mat)
+
+    def add_xz_rect(self, x0, x1, z0, z1, y, mat):
+        self.add_rect(1, y, x0, x1, z0, z1, mat)
+
+    def add_yz_rect(self, y0, y1, z0, z1, x, mat):
+        self.add_rect(0, x, y0, y1, z0, z1, mat)
+
+    def add_cylinder(self, center, radius, ymin, ymax, capped, mat: Material):
+        self._cylinders.append((center[0], center[2], radius, min(ymin, ymax),
+                                max(ymin, ymax), bool(capped), self._mid(mat)))
+
+    def add_disk(self, center, normal, radius, mat: Material):
+        n = np.asarray(normal, np.float32)
+        n = n / max(1e-20, float(np.linalg.norm(n)))
+        self._disks.append((tuple(center), tuple(n), float(radius), self._mid(mat)))
+
+    def add_plane(self, point, normal, mat: Material):
+        n = np.asarray(normal, np.float64)
+        n = n / max(1e-20, float(np.linalg.norm(n)))
+        d = float(np.dot(n, np.asarray(point, np.float64)))
+        self._planes.append((tuple(n.astype(np.float32)), d, self._mid(mat)))
+
+    def add_triangle(self, a, b, c, mat: Material):
+        self._triangles.append((tuple(a), tuple(b), tuple(c), self._mid(mat)))
+
+    def add_mesh_triangles(self, tris, mat: Material):
+        """Bulk triangles destined for the mesh BVH; `tris` is (N,3,3)."""
+        mid = self._mid(mat)
+        for t in np.asarray(tris, np.float32):
+            self._mesh_tris.append((t[0], t[1], t[2], mid))
+
+    def add_texture(self, image) -> int:
+        """Register a (H, W, 3) float32 linear image; returns texture id."""
+        self.textures.append(np.asarray(image, np.float32))
+        return len(self.textures) - 1
+
+    def add_light(self, pos, color, intensity):
+        self._lights.append((tuple(pos), tuple(color), float(intensity)))
+
+    def set_camera(self, pos, yaw=0.0, pitch=0.0, fov=60.0):
+        self.default_pos = tuple(pos)
+        self.default_yaw = float(yaw)
+        self.default_pitch = float(pitch)
+        self.default_fov = float(fov)
+
+    # -- build --------------------------------------------------------------
+
+    def build(self) -> SceneData:
+        f32, i32 = np.float32, np.int32
+
+        def col(items, idx, dtype, width=0):
+            return ([it[idx] for it in items], dtype, width)
+
+        spheres = _table(SphereTable, len(self._spheres),
+                         center=col(self._spheres, 0, f32, 3),
+                         radius=col(self._spheres, 1, f32),
+                         mat=col(self._spheres, 2, i32))
+        boxes = _table(BoxTable, len(self._boxes),
+                       bmin=col(self._boxes, 0, f32, 3),
+                       bmax=col(self._boxes, 1, f32, 3),
+                       mat=col(self._boxes, 2, i32))
+        rects = _table(RectTable, len(self._rects),
+                       axis=col(self._rects, 0, i32),
+                       k=col(self._rects, 1, f32),
+                       u0=col(self._rects, 2, f32), u1=col(self._rects, 3, f32),
+                       v0=col(self._rects, 4, f32), v1=col(self._rects, 5, f32),
+                       mat=col(self._rects, 6, i32))
+        cylinders = _table(CylinderTable, len(self._cylinders),
+                           cx=col(self._cylinders, 0, f32),
+                           cz=col(self._cylinders, 1, f32),
+                           radius=col(self._cylinders, 2, f32),
+                           ymin=col(self._cylinders, 3, f32),
+                           ymax=col(self._cylinders, 4, f32),
+                           capped=col(self._cylinders, 5, np.bool_),
+                           mat=col(self._cylinders, 6, i32))
+        disks = _table(DiskTable, len(self._disks),
+                       center=col(self._disks, 0, f32, 3),
+                       normal=col(self._disks, 1, f32, 3),
+                       radius=col(self._disks, 2, f32),
+                       mat=col(self._disks, 3, i32))
+        planes = _table(PlaneTable, len(self._planes),
+                        normal=col(self._planes, 0, f32, 3),
+                        d=col(self._planes, 1, f32),
+                        mat=col(self._planes, 2, i32))
+
+        tri_items = []
+        for (a, b, c, mid) in self._triangles:
+            a = np.asarray(a, f32); b = np.asarray(b, f32); c = np.asarray(c, f32)
+            e1, e2 = b - a, c - a
+            n = np.cross(e1, e2)
+            n = n / max(1e-20, float(np.linalg.norm(n)))
+            tri_items.append((a, e1, e2, n.astype(f32), mid))
+        triangles = _table(TriangleTable, len(tri_items),
+                           a=col(tri_items, 0, f32, 3),
+                           e1=col(tri_items, 1, f32, 3),
+                           e2=col(tri_items, 2, f32, 3),
+                           n=col(tri_items, 3, f32, 3),
+                           mat=col(tri_items, 4, i32))
+
+        lights = _table(LightTable, len(self._lights),
+                        pos=col(self._lights, 0, f32, 3),
+                        color=col(self._lights, 1, f32, 3),
+                        intensity=col(self._lights, 2, f32))
+
+        mesh = None
+        if self._mesh_tris:
+            from ..ops.mesh_bvh import build_mesh_bvh
+            a = np.stack([t[0] for t in self._mesh_tris]).astype(f32)
+            b = np.stack([t[1] for t in self._mesh_tris]).astype(f32)
+            c = np.stack([t[2] for t in self._mesh_tris]).astype(f32)
+            mat_ids = np.asarray([t[3] for t in self._mesh_tris], i32)
+            mesh = build_mesh_bvh(a, b, c, mat_ids)
+
+        textures = None
+        if self.textures:
+            th = max(t.shape[0] for t in self.textures)
+            tw = max(t.shape[1] for t in self.textures)
+            padded = [np.pad(t, ((0, th - t.shape[0]), (0, tw - t.shape[1]), (0, 0)))
+                      for t in self.textures]
+            textures = jnp.asarray(np.stack(padded))
+
+        return SceneData(
+            materials=self.bank.build(),
+            spheres=spheres, boxes=boxes, rects=rects, cylinders=cylinders,
+            disks=disks, planes=planes, triangles=triangles,
+            mesh=mesh, voxels=self.voxels, lights=lights,
+            ambient_color=jnp.asarray(self.ambient_color, jnp.float32),
+            ambient_intensity=jnp.asarray(self.ambient_intensity, jnp.float32),
+            bg_top=jnp.asarray(self.bg_top, jnp.float32),
+            bg_bottom=jnp.asarray(self.bg_bottom, jnp.float32),
+            textures=textures,
+            name=self.name,
+            binary_shadows=self.binary_shadows,
+            has_dynamic_textures=self.has_dynamic_textures,
+            defaults=(*(float(x) for x in self.default_pos),
+                      self.default_yaw, self.default_pitch, self.default_fov),
+        )
