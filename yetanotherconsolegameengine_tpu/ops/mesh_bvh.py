@@ -1,0 +1,316 @@
+"""Triangle-mesh BVH: host binned-SAH build, stackless lockstep traversal.
+
+The reference's MeshBVH (/root/reference/ConsoleGame/RayTracing/Objects/
+MeshBVH.cs:11-603) is a binned-SAH BVH (16 bins x 3 axes, leaf <= 8) over
+SoA triangle arrays, traversed iteratively with a stackalloc stack.
+
+The TPU re-design keeps the SAH build (host-side numpy — it runs once at
+mesh load, MeshBVH.cs:306-459) but inverts the traversal: instead of a
+per-ray stack, nodes are flattened in DFS pre-order with *skip links*
+("threaded" BVH). Every ray carries a single i32 cursor; one lockstep
+``lax.while_loop`` round does, for ALL rays at once:
+
+    gather node AABB -> slab test vs current best t
+    -> leaf? test its <=8 triangles as one dense gathered batch
+    -> cursor = AABB-hit-and-internal ? node+1 (first child) : skip link
+
+No stack arrays, no data-dependent control flow: the only loop state is
+(cursor, best t/u/v/tri, tmax), which is exactly what the VPU wants. The
+near-child-first ordering of the reference is approximated by sorting each
+node's children along the split axis at build time; correctness never
+depends on order because tmax shrinks monotonically.
+
+Leaf triangles are re-sorted contiguous so a leaf is (start, count<=K) and
+the K-triangle Moller-Trumbore test is a dense (P, K) batch — the "tile
+leaf triangles" plan from SURVEY.md §7 ("Hard parts").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .intersect import INF, Hit, _safe_div
+
+LEAF_K = 8          # max triangles per leaf (MeshBVH.cs leaf size)
+SAH_BINS = 16       # MeshBVH.cs:331
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MeshBVH:
+    """Device-resident flattened BVH + SoA triangles (padded).
+
+    Nodes are DFS pre-order. For node i: internal -> first child is i+1,
+    ``skip[i]`` jumps over the whole subtree; leaf -> ``tri_start/tri_count``
+    index the leaf-sorted triangle arrays. ``n_nodes`` is the sentinel
+    "done" cursor value.
+    """
+
+    bmin: jax.Array       # (N, 3)
+    bmax: jax.Array       # (N, 3)
+    skip: jax.Array       # (N,) i32 — next node when AABB missed / leaf done
+    tri_start: jax.Array  # (N,) i32
+    tri_count: jax.Array  # (N,) i32 — 0 for internal nodes
+    a: jax.Array          # (T, 3) triangle SoA (leaf-sorted, padded)
+    e1: jax.Array         # (T, 3)
+    e2: jax.Array         # (T, 3)
+    n: jax.Array          # (T, 3) unit geometric normals
+    mat: jax.Array        # (T,) i32
+
+    @property
+    def n_nodes(self) -> int:
+        return self.bmin.shape[0]
+
+    @property
+    def n_tris(self) -> int:
+        return self.a.shape[0]
+
+
+def _pad_to(arr: np.ndarray, n: int) -> np.ndarray:
+    pad = [(0, n - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
+    return np.pad(arr, pad)
+
+
+def build_mesh_bvh(a: np.ndarray, b: np.ndarray, c: np.ndarray,
+                   mat: np.ndarray) -> MeshBVH:
+    """Binned-SAH build over (T, 3) vertex arrays (MeshBVH.cs:306-459)."""
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    c = np.asarray(c, np.float32)
+    mat = np.asarray(mat, np.int32)
+    T = a.shape[0]
+    tmin = np.minimum(np.minimum(a, b), c)
+    tmax = np.maximum(np.maximum(a, b), c)
+    cent = (tmin + tmax) * 0.5
+
+    # Recursive build over an index permutation; collect (bmin, bmax,
+    # leaf_range_or_children). Iterative explicit stack to survive big meshes.
+    nodes = []  # dicts: bmin, bmax, left, right, start, count, axis
+    order = np.arange(T)
+
+    def make_node(lo, hi):
+        nodes.append(dict(bmin=None, bmax=None, left=-1, right=-1,
+                          start=lo, count=hi - lo, axis=0))
+        return len(nodes) - 1
+
+    root = make_node(0, T)
+    stack = [root]
+    while stack:
+        ni = stack.pop()
+        nd = nodes[ni]
+        lo, hi = nd["start"], nd["start"] + nd["count"]
+        idx = order[lo:hi]
+        nb_min = tmin[idx].min(axis=0)
+        nb_max = tmax[idx].max(axis=0)
+        nd["bmin"], nd["bmax"] = nb_min, nb_max
+        count = hi - lo
+        if count <= LEAF_K:
+            continue
+        cb_min = cent[idx].min(axis=0)
+        cb_max = cent[idx].max(axis=0)
+        ext = cb_max - cb_min
+        # Binned SAH over the 3 axes.
+        best = (np.inf, -1, -1)  # (cost, axis, split_bin)
+        bins_of = {}
+        for ax in range(3):
+            if ext[ax] <= 1e-12:
+                continue
+            scale = SAH_BINS * (1.0 - 1e-6) / ext[ax]
+            bins = np.minimum(((cent[idx, ax] - cb_min[ax]) * scale)
+                              .astype(np.int64), SAH_BINS - 1)
+            bins_of[ax] = bins
+            cnt = np.bincount(bins, minlength=SAH_BINS)
+            bin_min = np.full((SAH_BINS, 3), np.inf, np.float32)
+            bin_max = np.full((SAH_BINS, 3), -np.inf, np.float32)
+            for k in range(SAH_BINS):
+                sel = bins == k
+                if sel.any():
+                    bin_min[k] = tmin[idx[sel]].min(axis=0)
+                    bin_max[k] = tmax[idx[sel]].max(axis=0)
+
+            def area_sweep(bm, bx, cn):
+                run_min = np.minimum.accumulate(bm, axis=0)
+                run_max = np.maximum.accumulate(bx, axis=0)
+                d = np.maximum(run_max - run_min, 0.0)
+                area = d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
+                return area, np.cumsum(cn)
+
+            areaL, cntL = area_sweep(bin_min, bin_max, cnt)
+            areaR, cntR = area_sweep(bin_min[::-1], bin_max[::-1], cnt[::-1])
+            areaR, cntR = areaR[::-1], cntR[::-1]
+            for k in range(SAH_BINS - 1):
+                nl, nr = cntL[k], cntR[k + 1]
+                if nl == 0 or nr == 0:
+                    continue
+                cost = areaL[k] * nl + areaR[k + 1] * nr
+                if cost < best[0]:
+                    best = (cost, ax, k)
+        if best[1] < 0:
+            # Degenerate: median split on the longest axis.
+            ax = int(np.argmax(ext))
+            sort = np.argsort(cent[idx, ax], kind="stable")
+            order[lo:hi] = idx[sort]
+            mid = lo + count // 2
+        else:
+            ax, k = best[1], best[2]
+            go_left = bins_of[ax] <= k
+            order[lo:hi] = np.concatenate([idx[go_left], idx[~go_left]])
+            mid = lo + int(go_left.sum())
+        nd["axis"] = ax
+        li = make_node(lo, mid)
+        ri = make_node(mid, hi)
+        nd["left"], nd["right"] = li, ri
+        nd["count"] = 0
+        stack.append(ri)
+        stack.append(li)
+
+    # Flatten DFS pre-order with skip links.
+    N = len(nodes)
+    f_bmin = np.zeros((N, 3), np.float32)
+    f_bmax = np.zeros((N, 3), np.float32)
+    f_skip = np.zeros(N, np.int32)
+    f_start = np.zeros(N, np.int32)
+    f_count = np.zeros(N, np.int32)
+    # Iterative emit (recursion depth can exceed Python's limit on big meshes).
+    flat_i = [0]
+    stack2 = [(root, N)]
+    while stack2:
+        ni, skip_to = stack2.pop()
+        nd = nodes[ni]
+        i = flat_i[0]
+        flat_i[0] += 1
+        f_bmin[i], f_bmax[i] = nd["bmin"], nd["bmax"]
+        f_skip[i] = skip_to
+        if nd["left"] < 0:
+            f_start[i] = nd["start"]
+            f_count[i] = nd["count"]
+        else:
+            # Right child's subtree skips to our skip; left child skips to
+            # the right child's flat index — which is i + 1 + size(left).
+            # Push right first so left is emitted immediately after us.
+            sz_left = _subtree_size(nodes, nd["left"])
+            right_at = i + 1 + sz_left
+            stack2.append((nd["right"], skip_to))
+            stack2.append((nd["left"], right_at))
+
+    # Leaf-sorted triangle arrays, padded so leaf gathers never go OOB.
+    perm = order
+    a_s, b_s, c_s, m_s = a[perm], b[perm], c[perm], mat[perm]
+    e1 = b_s - a_s
+    e2 = c_s - a_s
+    nrm = np.cross(e1, e2)
+    ln = np.linalg.norm(nrm, axis=1, keepdims=True)
+    nrm = nrm / np.maximum(ln, 1e-20)
+    Tp = T + LEAF_K  # pad tail so start..start+K gathers are in-bounds
+    return MeshBVH(
+        bmin=jnp.asarray(f_bmin), bmax=jnp.asarray(f_bmax),
+        skip=jnp.asarray(f_skip),
+        tri_start=jnp.asarray(f_start), tri_count=jnp.asarray(f_count),
+        a=jnp.asarray(_pad_to(a_s, Tp)), e1=jnp.asarray(_pad_to(e1, Tp)),
+        e2=jnp.asarray(_pad_to(e2, Tp)), n=jnp.asarray(_pad_to(nrm, Tp)),
+        mat=jnp.asarray(_pad_to(m_s, Tp)),
+    )
+
+
+def _subtree_size(nodes, ni) -> int:
+    """Flat size of subtree ni (iterative)."""
+    total = 0
+    st = [ni]
+    while st:
+        n = st.pop()
+        total += 1
+        nd = nodes[n]
+        if nd["left"] >= 0:
+            st.append(nd["left"])
+            st.append(nd["right"])
+    return total
+
+
+def intersect_mesh(bvh: MeshBVH, o, d, tmin, tmax) -> Hit:
+    """Stackless lockstep traversal. o/d: (P, 3); returns nearest Hit.
+
+    Mirrors MeshBVH.Hit / TriHit semantics (MeshBVH.cs:132-304): slab test
+    against the running best-t, double-sided Moller-Trumbore, normal flipped
+    against the ray.
+    """
+    P = o.shape[0]
+    t_lo = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (P,))
+    t_hi0 = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (P,))
+    n_nodes = bvh.n_nodes
+    inv_d = _safe_div(jnp.ones_like(o), d)
+
+    k_iota = jnp.arange(LEAF_K, dtype=jnp.int32)
+
+    def cond(st):
+        return jnp.any(st["node"] < n_nodes)
+
+    def body(st):
+        node = jnp.minimum(st["node"], n_nodes - 1)
+        active = st["node"] < n_nodes
+        nb_min = bvh.bmin[node]                       # (P, 3)
+        nb_max = bvh.bmax[node]
+        ta = (nb_min - o) * inv_d
+        tb = (nb_max - o) * inv_d
+        t0 = jnp.max(jnp.minimum(ta, tb), axis=-1)
+        t1 = jnp.min(jnp.maximum(ta, tb), axis=-1)
+        box_hit = active & (t0 <= t1) & (t1 >= t_lo) & (t0 <= st["t"])
+
+        count = bvh.tri_count[node]
+        is_leaf = count > 0
+        do_leaf = box_hit & is_leaf
+
+        # Dense K-wide leaf triangle batch (masked by count).
+        ti = bvh.tri_start[node][:, None] + k_iota[None, :]   # (P, K)
+        la = bvh.a[ti]                                        # (P, K, 3)
+        le1 = bvh.e1[ti]
+        le2 = bvh.e2[ti]
+        h = jnp.cross(d[:, None, :], le2)
+        det = jnp.einsum("pkc,pkc->pk", le1, h)
+        inv_det = _safe_div(jnp.ones_like(det), det)
+        s = o[:, None, :] - la
+        u = jnp.einsum("pkc,pkc->pk", s, h) * inv_det
+        q = jnp.cross(s, le1)
+        v = jnp.einsum("pc,pkc->pk", d, q) * inv_det
+        tt = jnp.einsum("pkc,pkc->pk", le2, q) * inv_det
+        valid = (do_leaf[:, None]
+                 & (k_iota[None, :] < count[:, None])
+                 & (jnp.abs(det) >= 1e-8)
+                 & (u >= 0.0) & (u <= 1.0)
+                 & (v >= 0.0) & (u + v <= 1.0)
+                 & (tt >= t_lo[:, None]) & (tt < st["t"][:, None]))
+        tt = jnp.where(valid, tt, INF)
+        kbest = jnp.argmin(tt, axis=1)
+        t_leaf = jnp.take_along_axis(tt, kbest[:, None], axis=1)[:, 0]
+        better = t_leaf < st["t"]
+        st["t"] = jnp.where(better, t_leaf, st["t"])
+        st["tri"] = jnp.where(
+            better, jnp.take_along_axis(ti, kbest[:, None], axis=1)[:, 0],
+            st["tri"])
+        st["u"] = jnp.where(
+            better, jnp.take_along_axis(u, kbest[:, None], axis=1)[:, 0],
+            st["u"])
+        st["v"] = jnp.where(
+            better, jnp.take_along_axis(v, kbest[:, None], axis=1)[:, 0],
+            st["v"])
+
+        descend = box_hit & ~is_leaf
+        nxt = jnp.where(descend, node + 1, bvh.skip[node])
+        st["node"] = jnp.where(active, nxt, st["node"])
+        return st
+
+    st = jax.lax.while_loop(cond, body, dict(
+        node=jnp.zeros(P, jnp.int32),
+        t=t_hi0, tri=jnp.zeros(P, jnp.int32),
+        u=jnp.zeros(P, jnp.float32), v=jnp.zeros(P, jnp.float32),
+    ))
+
+    hit = st["t"] < t_hi0
+    nrm = bvh.n[st["tri"]]
+    flip = jnp.sum(nrm * d, axis=-1) >= 0.0
+    nrm = jnp.where(flip[:, None], -nrm, nrm)
+    return Hit(t=jnp.where(hit, st["t"], INF), n=nrm,
+               u=st["u"], v=st["v"], mat=bvh.mat[st["tri"]], hit=hit)

@@ -239,3 +239,18 @@ SCENE_BUILDERS = {
     "texture_test": build_texture_test,
     "glass": build_glass_showcase,
 }
+
+
+def _register_lazy_builders():
+    """Mesh/voxel scenes import heavier modules; register them lazily so
+    plain primitive scenes stay import-light."""
+    from .mesh_scenes import MESH_SCENE_BUILDERS
+    SCENE_BUILDERS.update(MESH_SCENE_BUILDERS)
+    try:
+        from .voxel_scenes import VOXEL_SCENE_BUILDERS
+        SCENE_BUILDERS.update(VOXEL_SCENE_BUILDERS)
+    except ImportError:
+        pass
+
+
+_register_lazy_builders()
