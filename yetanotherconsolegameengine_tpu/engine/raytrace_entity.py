@@ -1,0 +1,189 @@
+"""The renderer controller component.
+
+Counterpart of RaytraceEntity (/root/reference/ConsoleGame/
+RaytraceEntity.cs:10-345): owns the scene table (lazily built + cached),
+scene cycling on I/U with a 1 s cooldown, camera control, live resize,
+and the per-frame update that pushes the camera, renders on device, and
+blits the half-block cell grid into the entity framebuffer with a HUD
+info string. The voxel world entry streams through a VolumeScene with
+player physics instead of a static SceneData.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Union
+
+from ..render.renderer import RaytraceRenderer
+from ..scene.builders import SCENE_BUILDERS
+from ..scene.tables import SceneData
+from .chexel import Framebuffer
+from .entity import BaseComponent
+from .fly_camera import FlyCamera
+
+SCENE_SWITCH_COOLDOWN = 1.0  # RaytraceEntity.cs:183-213
+
+
+def default_scene_order() -> List[str]:
+    """The 16-entry scene table (RaytraceEntity.BuildSceneTable,
+    RaytraceEntity.cs:319-344)."""
+    order = ["test", "cornell", "mirror_spheres", "primitives", "boxes",
+             "demo_random", "texture_test", "glass", "bunny", "teapot",
+             "cow", "dragon", "glass_gem", "all_meshes", "voxel_test",
+             "voxel_cave", "minecraft_like"]
+    return [n for n in order if n in SCENE_BUILDERS or n == "minecraft_like"]
+
+
+class RaytraceComponent(BaseComponent):
+    def __init__(self, fb: Framebuffer, scene_names: Optional[List[str]] = None,
+                 ss: int = 1, start_scene: Union[int, str] = 0,
+                 enable_world: bool = True):
+        super().__init__()
+        self.fb = fb
+        self.ss = ss
+        self.scene_names = scene_names or default_scene_order()
+        if not enable_world and "minecraft_like" in self.scene_names:
+            self.scene_names.remove("minecraft_like")
+        if isinstance(start_scene, str):
+            start_scene = self.scene_names.index(start_scene)
+        self.scene_idx = start_scene
+        self._cache: Dict[str, object] = {}  # name -> SceneData|VolumeScene
+        self._last_switch = 0.0
+        self.camera = FlyCamera()
+        self.renderer: Optional[RaytraceRenderer] = None
+        self.info = ""
+        self.show_hud = True
+        self._frame_times: List[float] = []
+        self._volume = None  # active VolumeScene, if any
+        self._switch_to(self.scene_idx, force=True)
+
+    # -- scene table (GetOrBuildScene, RaytraceEntity.cs:303-315) ----------
+
+    def _get_or_build(self, name: str):
+        if name not in self._cache:
+            if name == "minecraft_like":
+                from ..world.volume_scene import build_minecraft_like
+                self._cache[name] = build_minecraft_like()
+            else:
+                self._cache[name] = SCENE_BUILDERS[name]()
+        return self._cache[name]
+
+    def _switch_to(self, idx: int, force: bool = False):
+        now = time.monotonic()
+        if not force and now - self._last_switch < SCENE_SWITCH_COOLDOWN:
+            return
+        self._last_switch = now
+        self.scene_idx = idx % len(self.scene_names)
+        name = self.scene_names[self.scene_idx]
+        obj = self._get_or_build(name)
+        from ..world.volume_scene import VolumeScene
+        if isinstance(obj, VolumeScene):
+            self._volume = obj
+            scene = obj.update(0.0)
+            self.camera.set_pose(tuple(obj.pos), obj.yaw, obj.pitch)
+        else:
+            self._volume = None
+            scene = obj
+            d = scene.defaults
+            self.camera.set_pose(d[0:3], d[3], d[4])
+        if self.renderer is None:
+            self.renderer = RaytraceRenderer(scene, fb_w=self.fb.width,
+                                             fb_h=self.fb.height, ss=self.ss)
+        else:
+            # jit re-specializes per scene table shapes automatically; the
+            # TAA/exposure state resets here (fresh history on switch).
+            self.renderer.set_scene(scene, reset_camera=False)
+
+    # -- input (RaytraceEntity.HandleInput, :168-213) ------------------------
+
+    def handle_key(self, key: str) -> bool:
+        k = key.lower()
+        if k == "i":
+            self._switch_to(self.scene_idx + 1)
+            return True
+        if k == "u":
+            self._switch_to(self.scene_idx - 1)
+            return True
+        if k == "y":
+            self.camera.toggle_orbit()
+            return True
+        if k == "h":
+            self.show_hud = not self.show_hud
+            return True
+        if k == "f" and self._volume is not None:
+            self._volume.flying = not self._volume.flying
+            return True
+        if k == "p":
+            self.fb.to_png(f"/tmp/yacge_{self.scene_names[self.scene_idx]}"
+                           f"_{int(time.time())}.png")
+            return True
+        return False
+
+    def handle_mouse(self, ev) -> bool:
+        return self.camera.handle_mouse(ev)
+
+    # -- resize (RaytraceEntity.Resize, :284-301) ---------------------------
+
+    def resize(self, fb: Framebuffer):
+        self.fb = fb
+        if self.renderer is not None:
+            self.renderer.resize(fb.width, fb.height, self.ss)
+
+    # -- frame (RaytraceEntity.Update, :221-232) ----------------------------
+
+    def update(self, dt: float):
+        inp = getattr(self.entity, "input", None)
+        if self._volume is not None:
+            vs = self._volume
+            if inp is not None:
+                fwd = (1.0 if inp.is_key_down("w") else 0.0) - \
+                      (1.0 if inp.is_key_down("s") else 0.0)
+                strafe = (1.0 if inp.is_key_down("d") else 0.0) - \
+                         (1.0 if inp.is_key_down("a") else 0.0)
+                up = (1.0 if inp.is_key_down("e") or inp.is_key_down(" ")
+                      else 0.0) - (1.0 if inp.is_key_down("q") else 0.0)
+                jump = inp.is_key_down(" ")
+                la = 1.6 * dt
+                if inp.is_key_down("left"):
+                    vs.yaw -= la
+                if inp.is_key_down("right"):
+                    vs.yaw += la
+                if inp.is_key_down("up"):
+                    vs.pitch = min(1.45, vs.pitch + la)
+                if inp.is_key_down("down"):
+                    vs.pitch = max(-1.45, vs.pitch - la)
+                vs.apply_input(fwd, strafe, up, jump,
+                               inp.is_key_down("shift"), dt)
+            scene = vs.update(dt)
+            self.renderer.scene = scene
+            self.camera.set_pose(tuple(vs.pos), vs.yaw, vs.pitch)
+        elif inp is not None:
+            self.camera.update(inp, dt)
+
+        r = self.renderer
+        r.set_camera(self.camera.pos, self.camera.yaw, self.camera.pitch)
+        t0 = time.perf_counter()
+        out = r.render()
+        fg = out.fg_ansi  # device->host sync happens on np.asarray in blit
+        self.fb.blit_half_blocks(out.top_rgb, out.bot_rgb, fg, out.bg_ansi)
+        frame_ms = (time.perf_counter() - t0) * 1000.0
+        self._frame_times.append(frame_ms)
+        if len(self._frame_times) > 30:
+            self._frame_times.pop(0)
+
+        if self.show_hud:
+            self.info = self._info_string(out, frame_ms)
+            self.fb.write_text(0, 0, self.info[: self.fb.width])
+
+    def _info_string(self, out, frame_ms: float) -> str:
+        """HUD parity (GetInfoString, RaytraceEntity.cs:216-219)."""
+        p = self.camera.pos
+        avg = sum(self._frame_times) / max(1, len(self._frame_times))
+        name = self.scene_names[self.scene_idx]
+        rays = int(out.rays_traced)
+        return (f" {name} [{self.scene_idx + 1}/{len(self.scene_names)}] "
+                f"pos({p[0]:.1f},{p[1]:.1f},{p[2]:.1f}) "
+                f"yaw{self.camera.yaw:+.2f} pitch{self.camera.pitch:+.2f} "
+                f"{self.fb.width}x{self.fb.height} ss{self.ss} "
+                f"{rays / 1e3:.0f}k rays {avg:.0f}ms "
+                f"{1000.0 / max(avg, 1e-6):.1f}fps ")
