@@ -2,8 +2,11 @@
 
 Reproduces BASELINE.json config #1 (the default reference scene at the
 reference's cell geometry: 160x90 cells = 160x180 traced pixels, 1 diffuse
-bounce + per-light shadow rays, TAA + à-trous + tone map + ANSI quantize all
-on device). Prints ONE JSON line:
+bounce + per-light shadow rays, TAA + à-trous + tone map + ANSI quantize
+all on device). Frames are rendered through the real multi-frame API
+(``render_many`` — lax.scan over the frame step, the TAA/exposure state
+threading through exactly as in the interactive loop). Prints ONE JSON
+line:
 
     {"metric": ..., "value": Mrays/s/chip, "unit": "Mray/s",
      "vs_baseline": value / 500}
@@ -23,23 +26,21 @@ def main():
     from yetanotherconsolegameengine_tpu.scene.builders import build_cornell_box
 
     fb_w, fb_h = 160, 90
+    batch = 30
     scene = build_cornell_box()
     r = RaytraceRenderer(scene, fb_w=fb_w, fb_h=fb_h, ss=1)
 
-    # Warmup: compile + let TAA history settle.
-    out = r.render()
-    jax.block_until_ready(out.top_rgb)
+    # Warmup: compile the scan + let TAA history settle.
+    grids, out = r.render_many(batch)
+    jax.block_until_ready(grids[0])
     rays_per_frame = int(out.rays_traced)
-    for _ in range(5):
-        out = r.render()
-    jax.block_until_ready(out.top_rgb)
 
-    n = 60
+    n_batches = 4
     t0 = time.perf_counter()
-    for _ in range(n):
-        out = r.render()
-    jax.block_until_ready(out.top_rgb)
-    dt = (time.perf_counter() - t0) / n
+    for _ in range(n_batches):
+        grids, out = r.render_many(batch)
+    jax.block_until_ready(grids[0])
+    dt = (time.perf_counter() - t0) / (n_batches * batch)
 
     fps = 1.0 / dt
     mrays = rays_per_frame * fps / 1e6

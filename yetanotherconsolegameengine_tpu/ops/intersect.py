@@ -8,6 +8,13 @@ reduced axis), then merge the per-type winners. For the bundled scenes
 (tens of primitives) this brute-force sweep beats any divergent traversal;
 triangle meshes use ops/mesh_bvh.py instead.
 
+TPU performance note: per-ray index gathers cost ~5x the whole intersection
+sweep on the VPU, so winner attributes are NEVER gathered. Each type builds
+a one-hot "first minimum" select mask (P, N) and extracts winner rows with
+a single (P, N) @ (N, K) matmul on the MXU (``_sel_rows``); per-candidate
+quantities (UVs, face axes) reduce under the same mask. Zero gathers on the
+brute-force path.
+
 Intersection math matches the reference objects exactly:
   spheres       Objects/BoundedObjects.cs:31-69
   boxes         Objects/BoundedObjects.cs:99-115 (6 rects -> one slab test)
@@ -27,6 +34,12 @@ import jax
 import jax.numpy as jnp
 
 INF = jnp.float32(3.0e38)
+
+# All matmuls/einsums here contract over *coordinates*, not activations:
+# TPU default matmul precision is bf16 multiplies, which corrupts hit
+# distances / UV bounds tests (observed as wrong shadow occlusion). Force
+# full f32 on the MXU.
+_HI = jax.lax.Precision.HIGHEST
 
 
 @jax.tree_util.register_dataclass
@@ -58,17 +71,41 @@ def merge(a: Hit, b: Hit) -> Hit:
                hit=a.hit | b.hit)
 
 
-def _reduce(tmat, mask):
-    """(P, N) candidate distances + (N,) row mask -> best (t, idx, hit)."""
-    tm = jnp.where(mask[None, :], tmat, INF)
-    idx = jnp.argmin(tm, axis=1)
-    t = jnp.take_along_axis(tm, idx[:, None], axis=1)[:, 0]
-    return t, idx, t < INF
-
-
 def _safe_div(num, den, eps=1e-12):
     s = jnp.where(jnp.abs(den) < eps, jnp.where(den < 0, -eps, eps), den)
     return num / s
+
+
+def _first_min(tm, row_mask):
+    """(P, N) candidate distances (INF = miss) + (N,) row mask ->
+    (tbest (P,), sel (P, N) one-hot f32, hit (P,))."""
+    tm = jnp.where(row_mask[None, :], tm, INF)
+    tbest = jnp.min(tm, axis=1)
+    hit = tbest < INF
+    is_min = (tm == tbest[:, None]) & (tm < INF)
+    first = jnp.cumsum(is_min.astype(jnp.int32), axis=1) == 1
+    sel = (is_min & first).astype(jnp.float32)
+    return tbest, sel, hit
+
+
+def _sel_rows(sel, rows):
+    """Winner-row extraction: (P, N) one-hot @ (N, K) -> (P, K) on the MXU."""
+    return jnp.matmul(sel, rows, precision=_HI)
+
+
+def _sel_val(sel, pn):
+    """Winner of a per-candidate (P, N) quantity -> (P,)."""
+    return jnp.sum(sel * pn, axis=1)
+
+
+def _sel_mat(sel, mat_rows):
+    """Winner material id via the f32 one-hot (exact for ids < 2^24)."""
+    return jnp.matmul(sel, mat_rows.astype(jnp.float32),
+                      precision=_HI).astype(jnp.int32)
+
+
+def _bc(tval, P):
+    return jnp.broadcast_to(jnp.asarray(tval, jnp.float32), (P,))[:, None]
 
 
 # -- spheres ------------------------------------------------------------------
@@ -76,10 +113,11 @@ def _safe_div(num, den, eps=1e-12):
 def intersect_spheres(tb, o, d, tmin, tmax) -> Hit:
     if tb.mask.shape[0] == 0:
         return Hit.miss(o.shape[0])
-    tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), o.shape[:1])[:, None]
-    tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), o.shape[:1])[:, None]
+    P = o.shape[0]
+    tmin = _bc(tmin, P)
+    tmax = _bc(tmax, P)
     oc = o[:, None, :] - tb.center[None]            # (P, N, 3)
-    half_b = jnp.einsum("pnk,pk->pn", oc, d)
+    half_b = jnp.einsum("pnk,pk->pn", oc, d, precision=_HI)
     c = jnp.sum(oc * oc, axis=-1) - tb.radius[None] ** 2
     disc = half_b * half_b - c                       # a == 1 (unit dirs)
     s = jnp.sqrt(jnp.maximum(disc, 0.0))
@@ -91,13 +129,14 @@ def intersect_spheres(tb, o, d, tmin, tmax) -> Hit:
     valid = (disc >= 0.0) & (near_ok | far_ok)
     t = jnp.where(valid, t, INF)
 
-    tbest, j, hit = _reduce(t, tb.mask)
-    ctr = tb.center[j]
-    inv_r = 1.0 / jnp.maximum(tb.radius[j], 1e-20)
+    tbest, sel, hit = _first_min(t, tb.mask)
+    ctr = _sel_rows(sel, tb.center)
+    inv_r = _sel_val(sel, jnp.broadcast_to(
+        (1.0 / jnp.maximum(tb.radius, 1e-20))[None], t.shape))
     p = o + tbest[:, None] * d
     n = (p - ctr) * inv_r[:, None]
     z = jnp.zeros_like(tbest)
-    return Hit(t=tbest, n=n, u=z, v=z, mat=tb.mat[j], hit=hit)
+    return Hit(t=tbest, n=n, u=z, v=z, mat=_sel_mat(sel, tb.mat), hit=hit)
 
 
 # -- axis-aligned boxes -------------------------------------------------------
@@ -109,8 +148,8 @@ def intersect_boxes(tb, o, d, tmin, tmax) -> Hit:
     if tb.mask.shape[0] == 0:
         return Hit.miss(o.shape[0])
     P = o.shape[0]
-    tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (P,))[:, None]
-    tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (P,))[:, None]
+    tmin = _bc(tmin, P)
+    tmax = _bc(tmax, P)
     inv_d = _safe_div(jnp.ones_like(d), d)           # (P, 3)
     ta = (tb.bmin[None] - o[:, None, :]) * inv_d[:, None, :]   # (P, N, 3)
     tc = (tb.bmax[None] - o[:, None, :]) * inv_d[:, None, :]
@@ -123,29 +162,32 @@ def intersect_boxes(tb, o, d, tmin, tmax) -> Hit:
     enter_ok = (t0 <= t1) & (t0 >= tmin) & (t0 <= tmax)
     exit_ok = (t0 <= t1) & (t1 >= tmin) & (t1 <= tmax)
     t = jnp.where(enter_ok, t0, t1)
-    axis = jnp.where(enter_ok, axis_in, axis_out)
+    axis = jnp.where(enter_ok, axis_in, axis_out)    # (P, N)
     valid = enter_ok | exit_ok
     t = jnp.where(valid, t, INF)
 
-    tbest, j, hit = _reduce(t, tb.mask)
-    axis = jnp.take_along_axis(axis, j[:, None], axis=1)[:, 0]
-    bmin, bmax = tb.bmin[j], tb.bmax[j]
+    tbest, sel, hit = _first_min(t, tb.mask)
+    ax = _sel_val(sel, axis.astype(jnp.float32)).astype(jnp.int32)
     p = o + tbest[:, None] * d
-    d_axis = jnp.take_along_axis(d, axis[:, None], axis=1)[:, 0]
-    n = (jax.nn.one_hot(axis, 3, dtype=jnp.float32)
-         * jnp.where(d_axis < 0, 1.0, -1.0)[:, None])
+    ax_oh = (ax[:, None] == jnp.arange(3)[None]).astype(jnp.float32)
+    d_axis = jnp.sum(d * ax_oh, axis=1)
+    n = ax_oh * jnp.where(d_axis < 0, 1.0, -1.0)[:, None]
     # Face UV per Objects/Surfaces.cs: the two free axes in ascending order.
-    fa = jnp.where(axis == 0, 1, 0)
-    fb = jnp.where(axis == 2, 1, 2)
-    pu = jnp.take_along_axis(p, fa[:, None], axis=1)[:, 0]
-    pv = jnp.take_along_axis(p, fb[:, None], axis=1)[:, 0]
-    u0 = jnp.take_along_axis(bmin, fa[:, None], axis=1)[:, 0]
-    u1 = jnp.take_along_axis(bmax, fa[:, None], axis=1)[:, 0]
-    v0 = jnp.take_along_axis(bmin, fb[:, None], axis=1)[:, 0]
-    v1 = jnp.take_along_axis(bmax, fb[:, None], axis=1)[:, 0]
+    fa = jnp.where(ax == 0, 1, 0)
+    fb = jnp.where(ax == 2, 1, 2)
+    fa_oh = (fa[:, None] == jnp.arange(3)[None]).astype(jnp.float32)
+    fb_oh = (fb[:, None] == jnp.arange(3)[None]).astype(jnp.float32)
+    bmin_w = _sel_rows(sel, tb.bmin)
+    bmax_w = _sel_rows(sel, tb.bmax)
+    pu = jnp.sum(p * fa_oh, 1)
+    pv = jnp.sum(p * fb_oh, 1)
+    u0 = jnp.sum(bmin_w * fa_oh, 1)
+    u1 = jnp.sum(bmax_w * fa_oh, 1)
+    v0 = jnp.sum(bmin_w * fb_oh, 1)
+    v1 = jnp.sum(bmax_w * fb_oh, 1)
     u = _safe_div(pu - u0, u1 - u0)
     v = _safe_div(pv - v0, v1 - v0)
-    return Hit(t=tbest, n=n, u=u, v=v, mat=tb.mat[j], hit=hit)
+    return Hit(t=tbest, n=n, u=u, v=v, mat=_sel_mat(sel, tb.mat), hit=hit)
 
 
 # -- axis-aligned rects -------------------------------------------------------
@@ -154,32 +196,40 @@ def intersect_rects(tb, o, d, tmin, tmax) -> Hit:
     if tb.mask.shape[0] == 0:
         return Hit.miss(o.shape[0])
     P = o.shape[0]
-    tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (P,))[:, None]
-    tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (P,))[:, None]
-    o_ax = jnp.take(o, tb.axis, axis=1)              # (P, N)
-    d_ax = jnp.take(d, tb.axis, axis=1)
+    tmin = _bc(tmin, P)
+    tmax = _bc(tmax, P)
+    # Per-row axis one-hots as (N, 3) matrices: o_ax = o @ axes^T etc. —
+    # replaces the per-(P, N) index gathers with matmuls.
+    ax_oh = (tb.axis[:, None] == jnp.arange(3)[None]).astype(jnp.float32)
+    fa = jnp.where(tb.axis == 0, 1, 0)
+    fb = jnp.where(tb.axis == 2, 1, 2)
+    fa_oh = (fa[:, None] == jnp.arange(3)[None]).astype(jnp.float32)
+    fb_oh = (fb[:, None] == jnp.arange(3)[None]).astype(jnp.float32)
+    o_ax = jnp.matmul(o, ax_oh.T, precision=_HI)                               # (P, N)
+    d_ax = jnp.matmul(d, ax_oh.T, precision=_HI)
     ad = jnp.abs(d_ax)
     safe = jnp.where(ad < 1e-8, jnp.where(d_ax < 0, -1e-8, 1e-8), d_ax)
     t = (tb.k[None] - o_ax) / safe
-    fa = jnp.where(tb.axis == 0, 1, 0)
-    fb = jnp.where(tb.axis == 2, 1, 2)
-    pu = jnp.take(o, fa, axis=1) + t * jnp.take(d, fa, axis=1)
-    pv = jnp.take(o, fb, axis=1) + t * jnp.take(d, fb, axis=1)
+    pu = jnp.matmul(o, fa_oh.T, precision=_HI) + t * (jnp.matmul(d, fa_oh.T, precision=_HI))
+    pv = jnp.matmul(o, fb_oh.T, precision=_HI) + t * (jnp.matmul(d, fb_oh.T, precision=_HI))
     valid = ((ad >= 1e-8) & (t >= tmin) & (t <= tmax)
              & (pu >= tb.u0[None]) & (pu <= tb.u1[None])
              & (pv >= tb.v0[None]) & (pv <= tb.v1[None]))
     t = jnp.where(valid, t, INF)
 
-    tbest, j, hit = _reduce(t, tb.mask)
-    axis = tb.axis[j]
-    d_axis = jnp.take_along_axis(d, axis[:, None], axis=1)[:, 0]
-    n = (jax.nn.one_hot(axis, 3, dtype=jnp.float32)
-         * jnp.where(d_axis < 0, 1.0, -1.0)[:, None])
-    pu_b = jnp.take_along_axis(pu, j[:, None], axis=1)[:, 0]
-    pv_b = jnp.take_along_axis(pv, j[:, None], axis=1)[:, 0]
-    u = _safe_div(pu_b - tb.u0[j], tb.u1[j] - tb.u0[j])
-    v = _safe_div(pv_b - tb.v0[j], tb.v1[j] - tb.v0[j])
-    return Hit(t=tbest, n=n, u=u, v=v, mat=tb.mat[j], hit=hit)
+    tbest, sel, hit = _first_min(t, tb.mask)
+    n_axis = _sel_rows(sel, ax_oh)                   # (P, 3) winner axis oh
+    d_axis = jnp.sum(d * n_axis, axis=1)
+    n = n_axis * jnp.where(d_axis < 0, 1.0, -1.0)[:, None]
+    pu_b = _sel_val(sel, pu)
+    pv_b = _sel_val(sel, pv)
+    u0 = _sel_val(sel, jnp.broadcast_to(tb.u0[None], t.shape))
+    u1 = _sel_val(sel, jnp.broadcast_to(tb.u1[None], t.shape))
+    v0 = _sel_val(sel, jnp.broadcast_to(tb.v0[None], t.shape))
+    v1 = _sel_val(sel, jnp.broadcast_to(tb.v1[None], t.shape))
+    u = _safe_div(pu_b - u0, u1 - u0)
+    v = _safe_div(pv_b - v0, v1 - v0)
+    return Hit(t=tbest, n=n, u=u, v=v, mat=_sel_mat(sel, tb.mat), hit=hit)
 
 
 # -- Y-axis cylinders ---------------------------------------------------------
@@ -191,8 +241,8 @@ def intersect_cylinders(tb, o, d, tmin, tmax) -> Hit:
     if tb.mask.shape[0] == 0:
         return Hit.miss(o.shape[0])
     P = o.shape[0]
-    tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (P,))[:, None]
-    tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (P,))[:, None]
+    tmin = _bc(tmin, P)
+    tmax = _bc(tmax, P)
     ox = o[:, 0:1] - tb.cx[None]
     oy = o[:, 1:2]
     oz = o[:, 2:3] - tb.cz[None]
@@ -235,15 +285,18 @@ def intersect_cylinders(tb, o, d, tmin, tmax) -> Hit:
     valid = side_hit | top_ok | bot_ok
     t = jnp.where(valid, t_cur, INF)
 
-    tbest, j, hit = _reduce(t, tb.mask)
+    tbest, sel, hit = _first_min(t, tb.mask)
     px = o[:, 0] + tbest * d[:, 0]
     pz = o[:, 2] + tbest * d[:, 2]
-    is_top = jnp.take_along_axis(top_ok & ~bot_ok, j[:, None], 1)[:, 0]
-    is_bot = jnp.take_along_axis(bot_ok, j[:, None], 1)[:, 0]
-    inv_r = 1.0 / jnp.maximum(tb.radius[j], 1e-20)
-    n_side = jnp.stack([(px - tb.cx[j]) * inv_r,
+    is_top = _sel_val(sel, (top_ok & ~bot_ok).astype(jnp.float32)) > 0.5
+    is_bot = _sel_val(sel, bot_ok.astype(jnp.float32)) > 0.5
+    cx_w = _sel_val(sel, jnp.broadcast_to(tb.cx[None], t.shape))
+    cz_w = _sel_val(sel, jnp.broadcast_to(tb.cz[None], t.shape))
+    inv_r = _sel_val(sel, jnp.broadcast_to(
+        (1.0 / jnp.maximum(tb.radius, 1e-20))[None], t.shape))
+    n_side = jnp.stack([(px - cx_w) * inv_r,
                         jnp.zeros_like(px),
-                        (pz - tb.cz[j]) * inv_r], axis=-1)
+                        (pz - cz_w) * inv_r], axis=-1)
     n_top = jnp.asarray([0.0, 1.0, 0.0], jnp.float32)
     n_bot = jnp.asarray([0.0, -1.0, 0.0], jnp.float32)
     n = jnp.where(is_top[:, None], n_top,
@@ -251,7 +304,7 @@ def intersect_cylinders(tb, o, d, tmin, tmax) -> Hit:
     flip = jnp.sum(n * d, axis=-1) >= 0.0
     n = jnp.where(flip[:, None], -n, n)
     z = jnp.zeros_like(tbest)
-    return Hit(t=tbest, n=n, u=z, v=z, mat=tb.mat[j], hit=hit)
+    return Hit(t=tbest, n=n, u=z, v=z, mat=_sel_mat(sel, tb.mat), hit=hit)
 
 
 # -- disks --------------------------------------------------------------------
@@ -263,11 +316,11 @@ def intersect_disks(tb, o, d, tmin, tmax) -> Hit:
     if tb.mask.shape[0] == 0:
         return Hit.miss(o.shape[0])
     P = o.shape[0]
-    tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (P,))[:, None]
-    tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (P,))[:, None]
-    denom = jnp.einsum("nk,pk->pn", tb.normal, d)
+    tmin = _bc(tmin, P)
+    tmax = _bc(tmax, P)
+    denom = jnp.matmul(d, tb.normal.T, precision=_HI)                          # (P, N)
     nd_c = jnp.sum(tb.normal * tb.center, axis=-1)
-    no = jnp.einsum("nk,pk->pn", tb.normal, o)
+    no = jnp.matmul(o, tb.normal.T, precision=_HI)
     adenom = jnp.abs(denom)
     safe = jnp.where(adenom < 1e-8, jnp.where(denom < 0, -1e-8, 1e-8), denom)
     t = (nd_c[None] - no) / safe
@@ -279,12 +332,12 @@ def intersect_disks(tb, o, d, tmin, tmax) -> Hit:
     valid = (adenom >= 1e-6) & (t >= tmin) & (t <= tmax) & (rr <= (tb.radius ** 2)[None])
     t = jnp.where(valid, t, INF)
 
-    tbest, j, hit = _reduce(t, tb.mask)
-    nrm = tb.normal[j]
+    tbest, sel, hit = _first_min(t, tb.mask)
+    nrm = _sel_rows(sel, tb.normal)
     denom_b = jnp.sum(nrm * d, axis=-1)
     n = jnp.where((denom_b < 0)[:, None], nrm, -nrm)
     z = jnp.zeros_like(tbest)
-    return Hit(t=tbest, n=n, u=z, v=z, mat=tb.mat[j], hit=hit)
+    return Hit(t=tbest, n=n, u=z, v=z, mat=_sel_mat(sel, tb.mat), hit=hit)
 
 
 # -- infinite planes ----------------------------------------------------------
@@ -293,20 +346,20 @@ def intersect_planes(tb, o, d, tmin, tmax) -> Hit:
     if tb.mask.shape[0] == 0:
         return Hit.miss(o.shape[0])
     P = o.shape[0]
-    tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (P,))[:, None]
-    tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (P,))[:, None]
-    denom = jnp.einsum("nk,pk->pn", tb.normal, d)
-    no = jnp.einsum("nk,pk->pn", tb.normal, o)
+    tmin = _bc(tmin, P)
+    tmax = _bc(tmax, P)
+    denom = jnp.matmul(d, tb.normal.T, precision=_HI)
+    no = jnp.matmul(o, tb.normal.T, precision=_HI)
     t = _safe_div(tb.d[None] - no, denom)
     valid = (jnp.abs(denom) >= 1e-6) & (t >= tmin) & (t <= tmax)
     t = jnp.where(valid, t, INF)
 
-    tbest, j, hit = _reduce(t, tb.mask)
-    nrm = tb.normal[j]
+    tbest, sel, hit = _first_min(t, tb.mask)
+    nrm = _sel_rows(sel, tb.normal)
     denom_b = jnp.sum(nrm * d, axis=-1)
     n = jnp.where((denom_b < 0)[:, None], nrm, -nrm)
     z = jnp.zeros_like(tbest)
-    return Hit(t=tbest, n=n, u=z, v=z, mat=tb.mat[j], hit=hit)
+    return Hit(t=tbest, n=n, u=z, v=z, mat=_sel_mat(sel, tb.mat), hit=hit)
 
 
 # -- triangles ----------------------------------------------------------------
@@ -318,13 +371,13 @@ def moller_trumbore(a, e1, e2, o, d, tmin, tmax, eps_det=1e-8):
     Returns (t, u, v, valid) each (P, N); t = INF on miss.
     """
     h = jnp.cross(d[:, None, :], e2[None])           # (P, N, 3)
-    det = jnp.einsum("nk,pnk->pn", e1, h)
+    det = jnp.einsum("nk,pnk->pn", e1, h, precision=_HI)
     inv_det = _safe_div(jnp.ones_like(det), det)
     s = o[:, None, :] - a[None]
-    u = jnp.einsum("pnk,pnk->pn", s, h) * inv_det
+    u = jnp.einsum("pnk,pnk->pn", s, h, precision=_HI) * inv_det
     q = jnp.cross(s, e1[None])
-    v = jnp.einsum("pk,pnk->pn", d, q) * inv_det
-    t = jnp.einsum("nk,pnk->pn", e2, q) * inv_det
+    v = jnp.einsum("pk,pnk->pn", d, q, precision=_HI) * inv_det
+    t = jnp.einsum("nk,pnk->pn", e2, q, precision=_HI) * inv_det
     valid = ((jnp.abs(det) >= eps_det)
              & (u >= 0.0) & (u <= 1.0)
              & (v >= 0.0) & (u + v <= 1.0)
@@ -336,16 +389,16 @@ def intersect_triangles(tb, o, d, tmin, tmax) -> Hit:
     if tb.mask.shape[0] == 0:
         return Hit.miss(o.shape[0])
     P = o.shape[0]
-    tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (P,))[:, None]
-    tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (P,))[:, None]
+    tmin = _bc(tmin, P)
+    tmax = _bc(tmax, P)
     t, u, v, _ = moller_trumbore(tb.a, tb.e1, tb.e2, o, d, tmin, tmax)
-    tbest, j, hit = _reduce(t, tb.mask)
-    nrm = tb.n[j]
+    tbest, sel, hit = _first_min(t, tb.mask)
+    nrm = _sel_rows(sel, tb.n)
     nd = jnp.sum(nrm * d, axis=-1)
     n = jnp.where((nd < 0)[:, None], nrm, -nrm)
-    ub = jnp.take_along_axis(u, j[:, None], axis=1)[:, 0]
-    vb = jnp.take_along_axis(v, j[:, None], axis=1)[:, 0]
-    return Hit(t=tbest, n=n, u=ub, v=vb, mat=tb.mat[j], hit=hit)
+    ub = _sel_val(sel, u)
+    vb = _sel_val(sel, v)
+    return Hit(t=tbest, n=n, u=ub, v=vb, mat=_sel_mat(sel, tb.mat), hit=hit)
 
 
 # -- whole scene --------------------------------------------------------------

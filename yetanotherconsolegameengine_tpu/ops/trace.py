@@ -96,18 +96,23 @@ def transmittance_to_lights(scene, so, sd, max_dist, need, cfg: RenderConfig):
     Returns ((R, 3) transmittance, traced-ray count).
     """
     if scene.binary_shadows:
-        h = intersect_scene(scene, so, sd, 1e-3, max_dist)
-        return (jnp.where(h.hit[:, None], 0.0, jnp.ones_like(so)),
-                jnp.sum(need.astype(jnp.int32)))
+        def occluded(_):
+            h = intersect_scene(scene, so, sd, 1e-3, max_dist)
+            return jnp.where(h.hit[:, None], 0.0, jnp.ones_like(so))
 
-    trans = jnp.ones_like(so)
-    done = jnp.zeros(so.shape[0], bool)
-    tmin = jnp.full(so.shape[0], _EPS, jnp.float32)
-    rays = jnp.int32(0)
-    for _ in range(cfg.max_refractions):
-        rays = rays + jnp.sum((need & ~done).astype(jnp.int32))
-        h = intersect_scene(scene, so, sd, tmin, max_dist)
+        trans = jax.lax.cond(jnp.any(need), occluded,
+                             lambda _: jnp.ones_like(so), None)
+        return trans, jnp.sum(need.astype(jnp.int32))
+
+    def cond(st):
+        return jnp.any(need & ~st["done"]) & (st["i"] < cfg.max_refractions)
+
+    def body(st):
+        rays = st["rays"] + jnp.sum((need & ~st["done"]).astype(jnp.int32))
+        h = intersect_scene(scene, so, sd, st["tmin"], max_dist)
         m = gather_material(scene.materials, h.mat)
+        done = st["done"]
+        trans = st["trans"]
         opaque = h.hit & (m.transparency <= 0.0) & ~done
         trans = jnp.where(opaque[:, None], 0.0, trans)
         through = h.hit & (m.transparency > 0.0) & ~done
@@ -115,9 +120,17 @@ def transmittance_to_lights(scene, so, sd, max_dist, need, cfg: RenderConfig):
         trans = jnp.where(through[:, None], trans * tint, trans)
         faded = jnp.all(trans <= 1e-6, axis=-1)
         done = done | ~h.hit | opaque | faded
-        tmin = jnp.where(done, tmin, h.t + _EPS)
-    trans = jnp.where(jnp.all(trans <= 1e-6, axis=-1, keepdims=True), 0.0, trans)
-    return trans, rays
+        return dict(trans=trans, done=done,
+                    tmin=jnp.where(done, st["tmin"], h.t + _EPS),
+                    rays=rays, i=st["i"] + 1)
+
+    st = jax.lax.while_loop(cond, body, dict(
+        trans=jnp.ones_like(so), done=jnp.zeros(so.shape[0], bool),
+        tmin=jnp.full(so.shape[0], _EPS, jnp.float32),
+        rays=jnp.int32(0), i=jnp.int32(0)))
+    trans = jnp.where(jnp.all(st["trans"] <= 1e-6, axis=-1, keepdims=True),
+                      0.0, st["trans"])
+    return trans, st["rays"]
 
 
 @jax.tree_util.register_dataclass
@@ -300,14 +313,19 @@ def trace_all(scene, o0, d0, rng0, cfg: RenderConfig) -> TraceResult:
         ended = active & ~cont
         can_pop = ended & (st["sp"] > 0)
         idx = jnp.maximum(st["sp"] - 1, 0)
-        take = lambda a: jnp.take_along_axis(
-            a, idx[None, :, None] if a.ndim == 3 else idx[None, :], axis=0)[0]
+        # Pop via select-sum over the slot axis (gathers cost ~5x the whole
+        # intersection sweep on TPU; a (S, P) masked reduce is pure VPU).
+        pop_sel = (slot_iota == idx[None, :]).astype(jnp.float32)   # (S, P)
+        take = lambda a: jnp.sum(
+            a * (pop_sel[..., None] if a.ndim == 3 else pop_sel), axis=0)
+        take_i = lambda a: jnp.sum(a * pop_sel.astype(a.dtype), axis=0)
         pm3 = can_pop[:, None]
         st["o"] = jnp.where(pm3, take(st["st_o"]), st["o"])
         st["d"] = jnp.where(pm3, take(st["st_d"]), st["d"])
         st["beta"] = jnp.where(pm3, take(st["st_beta"]), st["beta"])
-        st["mirror"] = jnp.where(can_pop, take(st["st_mirror"]), st["mirror"])
-        st["diffuse"] = jnp.where(can_pop, take(st["st_diffuse"]), st["diffuse"])
+        st["mirror"] = jnp.where(can_pop, take_i(st["st_mirror"]), st["mirror"])
+        st["diffuse"] = jnp.where(can_pop, take_i(st["st_diffuse"]),
+                                  st["diffuse"])
         st["sp"] = st["sp"] - can_pop.astype(jnp.int32)
         st["active"] = active & (cont | can_pop)
         st["round"] = st["round"] + 1

@@ -82,8 +82,13 @@ def init_state(fb_w: int, fb_h: int, ss: int = 1) -> FrameState:
 
 def frame_step(scene: SceneData, cam: CameraPose, state: FrameState,
                fb_w: int, fb_h: int, ss: int = 1,
-               cfg: RenderConfig = DEFAULT_CONFIG):
-    """Render one frame. Pure; jit with static (fb_w, fb_h, ss, cfg)."""
+               cfg: RenderConfig = DEFAULT_CONFIG, host_scene=None):
+    """Render one frame. Pure; jit with static (fb_w, fb_h, ss, cfg,
+    host_scene).
+
+    ``host_scene`` (a pallas_trace._HostScene snapshot) routes the trace
+    through the Pallas megakernel (~8x the XLA wavefront on TPU); None
+    keeps the XLA path (CPU tests, mesh/voxel scenes, dynamic scenes)."""
     ss = max(1, ss)
     hi_w, hi_h = fb_w * ss, fb_h * 2 * ss
     frame = state.frame_idx + 1
@@ -105,9 +110,15 @@ def frame_step(scene: SceneData, cam: CameraPose, state: FrameState,
     seed = sampler.per_frame_seed(px, py, frame_idx, cfg.seed_salt)
 
     # Path trace the full grid (the hot loop, :201-216).
-    res = trace.trace_all(
-        scene, o.reshape(-1, 3), d.reshape(-1, 3),
-        (seed[0].reshape(-1), seed[1].reshape(-1)), cfg)
+    if host_scene is not None:
+        from ..ops.pallas_trace import trace_all_pallas
+        res = trace_all_pallas(
+            scene, host_scene, o.reshape(-1, 3), d.reshape(-1, 3),
+            (seed[0].reshape(-1), seed[1].reshape(-1)), cfg)
+    else:
+        res = trace.trace_all(
+            scene, o.reshape(-1, 3), d.reshape(-1, 3),
+            (seed[0].reshape(-1), seed[1].reshape(-1)), cfg)
     hdr = res.radiance.reshape(hi_h, hi_w, 3)
     sky = res.is_sky.reshape(hi_h, hi_w)
     g_albedo = res.albedo.reshape(hi_h, hi_w, 3)
@@ -148,6 +159,43 @@ def frame_step(scene: SceneData, cam: CameraPose, state: FrameState,
     return out, new_state
 
 
+def frame_scan(scene: SceneData, cams: CameraPose, state: FrameState,
+               fb_w: int, fb_h: int, ss: int = 1,
+               cfg: RenderConfig = DEFAULT_CONFIG, host_scene=None):
+    """Render a SEQUENCE of frames in one device program.
+
+    ``cams`` is a CameraPose pytree with a leading (N,) axis. TAA history,
+    exposure EMA, and the frame counter thread through ``lax.scan``, so
+    this is the real frame loop — just without a host round-trip per frame
+    (the reference's Terminal loop necessarily pays one per frame;
+    Terminal.cs:126-184).
+
+    Returns ((fg_ansi_u8, bg_ansi_u8) stacked (N, fb_h, fb_w), the last
+    frame's full FrameOutput, final state). Only the quantized cell grids
+    are stacked per frame — that is all a terminal consumer needs, and
+    stacking full f32 RGB planes costs ~10x the render itself."""
+
+    def step(st, cam):
+        out, st2 = frame_step(scene, cam, st, fb_w, fb_h, ss, cfg,
+                              host_scene=host_scene)
+        return st2, (out.fg_ansi.astype(jnp.uint8),
+                     out.bg_ansi.astype(jnp.uint8))
+
+    n = cams.pos.shape[0]
+    head = jax.tree_util.tree_map(lambda x: x[:-1], cams)
+    last = jax.tree_util.tree_map(lambda x: x[-1], cams)
+    if n > 1:
+        state, (fgs, bgs) = jax.lax.scan(step, state, head)
+    else:
+        fgs = jnp.zeros((0, fb_h, fb_w), jnp.uint8)
+        bgs = fgs
+    out, state = frame_step(scene, last, state, fb_w, fb_h, ss, cfg,
+                            host_scene=host_scene)
+    fgs = jnp.concatenate([fgs, out.fg_ansi.astype(jnp.uint8)[None]])
+    bgs = jnp.concatenate([bgs, out.bg_ansi.astype(jnp.uint8)[None]])
+    return (fgs, bgs), out, state
+
+
 class RaytraceRenderer:
     """Host-side convenience wrapper: owns the jitted step + frame state.
 
@@ -158,16 +206,20 @@ class RaytraceRenderer:
 
     def __init__(self, scene: SceneData, fb_w: int, fb_h: int, ss: int = 1,
                  cfg: RenderConfig = DEFAULT_CONFIG,
-                 fov_deg: Optional[float] = None):
+                 fov_deg: Optional[float] = None, use_pallas: bool = True):
         self.scene = scene
         self.fb_w, self.fb_h, self.ss = fb_w, fb_h, max(1, ss)
         self.cfg = cfg
+        self.use_pallas = use_pallas
+        self._hs = None
+        self._cam_cache = None
         self.state = init_state(fb_w, fb_h, self.ss)
         defaults = scene.defaults
         self.cam_pos = list(defaults[0:3])
         self.yaw, self.pitch = defaults[3], defaults[4]
         self.fov_deg = fov_deg if fov_deg is not None else defaults[5]
         self._compile()
+        self._hs = self._host_scene()
 
     def _compile(self):
         # Buffer donation would let XLA reuse the HBM of the old FrameState,
@@ -176,20 +228,74 @@ class RaytraceRenderer:
         # keep a single jit.
         self._step = jax.jit(
             functools.partial(frame_step, fb_w=self.fb_w, fb_h=self.fb_h,
-                              ss=self.ss, cfg=self.cfg))
+                              ss=self.ss, cfg=self.cfg),
+            static_argnames=("host_scene",))
+        self._scan = None
+
+    def _host_scene(self):
+        """Pallas megakernel snapshot when eligible (TPU + fitting scene)."""
+        if not self.use_pallas:
+            return None
+        from ..ops import pallas_trace
+        if not pallas_trace.scene_fits(self.scene):
+            return None
+        try:
+            if jax.devices()[0].platform.lower() in ("cpu",):
+                return None
+        except RuntimeError:
+            return None
+        return pallas_trace.snapshot_scene(self.scene)
 
     def set_camera(self, pos, yaw, pitch):
-        self.cam_pos = list(pos)
+        pos = list(pos)
+        if (pos != self.cam_pos or float(yaw) != self.yaw
+                or float(pitch) != self.pitch):
+            self._cam_cache = None
+        self.cam_pos = pos
         self.yaw, self.pitch = float(yaw), float(pitch)
 
     def set_fov(self, fov_deg: float):
         self.fov_deg = float(fov_deg)
+        self._cam_cache = None
 
     def render(self) -> FrameOutput:
-        cam = CameraPose.create(self.cam_pos, self.yaw, self.pitch,
-                                self.fov_deg)
-        out, self.state = self._step(self.scene, cam, self.state)
+        # Rebuilding CameraPose costs a host->device upload round-trip per
+        # frame over the axon tunnel — cache it while the pose is unchanged.
+        if self._cam_cache is None:
+            self._cam_cache = CameraPose.create(
+                self.cam_pos, self.yaw, self.pitch, self.fov_deg)
+        out, self.state = self._step(self.scene, self._cam_cache, self.state,
+                                     host_scene=self._hs)
         return out
+
+    def render_many(self, n: int, poses=None):
+        """Render ``n`` frames in ONE dispatch (lax.scan over frame_step);
+        advances the renderer state. ``poses``: optional list of
+        (pos, yaw, pitch) per frame. Returns
+        ((fg_ansi_u8, bg_ansi_u8) stacked (n, fb_h, fb_w), last frame's
+        FrameOutput)."""
+        import numpy as np
+        if poses is None:
+            poses = [(self.cam_pos, self.yaw, self.pitch)] * n
+        # Stack on host: ONE upload for the whole pose sequence (per-pose
+        # jnp uploads cost a tunnel round-trip each).
+        stacked = CameraPose(
+            pos=jnp.asarray(np.asarray([p for (p, _, _) in poses],
+                                       np.float32)),
+            yaw=jnp.asarray(np.asarray([y for (_, y, _) in poses],
+                                       np.float32)),
+            pitch=jnp.asarray(np.asarray([pt for (_, _, pt) in poses],
+                                         np.float32)),
+            fov_deg=jnp.asarray(
+                np.full(len(poses), self.fov_deg, np.float32)))
+        if self._scan is None:
+            self._scan = jax.jit(
+                functools.partial(frame_scan, fb_w=self.fb_w,
+                                  fb_h=self.fb_h, ss=self.ss, cfg=self.cfg),
+                static_argnames=("host_scene",))
+        grids, out, self.state = self._scan(self.scene, stacked, self.state,
+                                            host_scene=self._hs)
+        return grids, out
 
     def resize(self, fb_w: int, fb_h: int, ss: Optional[int] = None):
         if ss is not None:
@@ -201,6 +307,8 @@ class RaytraceRenderer:
     def set_scene(self, scene: SceneData, reset_camera: bool = True):
         self.scene = scene
         self.state = init_state(self.fb_w, self.fb_h, self.ss)
+        self._hs = self._host_scene()
+        self._cam_cache = None
         if reset_camera:
             d = scene.defaults
             self.cam_pos, self.yaw, self.pitch = list(d[0:3]), d[3], d[4]

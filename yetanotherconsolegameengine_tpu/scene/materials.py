@@ -130,10 +130,46 @@ class MaterialBank:
 
 
 def gather_material(table: MaterialTable, mat_id) -> MaterialTable:
-    """Gather per-pixel material records from the bank (mat_id: (...,) i32)."""
-    g = lambda a: a[mat_id]
-    return MaterialTable(**{f.name: g(getattr(table, f.name))
-                            for f in dataclasses.fields(MaterialTable)})
+    """Gather per-pixel material records from the bank (mat_id: (...,) i32).
+
+    TPU note: per-field gathers cost ~5x the whole intersection sweep on
+    the VPU, so for small banks the 13 field gathers become ONE one-hot
+    matmul on the MXU: onehot(mat_id) @ packed_fields. Larger banks fall
+    back to a single packed-row gather.
+    """
+    M = table.albedo.shape[0]
+    packed = jnp.concatenate([
+        table.albedo,                     # 0:3
+        table.emission,                   # 3:6
+        table.transmission,               # 6:9
+        table.albedo2,                    # 9:12
+        table.specular[:, None],          # 12
+        table.reflectivity[:, None],      # 13
+        table.transparency[:, None],      # 14
+        table.ior[:, None],               # 15
+        table.proc.astype(jnp.float32)[:, None],        # 16
+        table.proc_scale[:, None],        # 17
+        table.tex_id.astype(jnp.float32)[:, None],      # 18
+        table.tex_weight[:, None],        # 19
+        table.uv_scale[:, None],          # 20
+    ], axis=1)                            # (M, 21)
+    flat_id = mat_id.reshape(-1)
+    if M <= 128:
+        onehot = (flat_id[:, None] == jnp.arange(M, dtype=mat_id.dtype)[None]
+                  ).astype(jnp.float32)
+        rows = jnp.matmul(onehot, packed,
+                          precision=jax.lax.Precision.HIGHEST)
+    else:
+        rows = packed[flat_id]            # single contiguous-row gather
+    rows = rows.reshape(*mat_id.shape, 21)
+    return MaterialTable(
+        albedo=rows[..., 0:3], emission=rows[..., 3:6],
+        transmission=rows[..., 6:9], albedo2=rows[..., 9:12],
+        specular=rows[..., 12], reflectivity=rows[..., 13],
+        transparency=rows[..., 14], ior=rows[..., 15],
+        proc=rows[..., 16].astype(jnp.int32), proc_scale=rows[..., 17],
+        tex_id=rows[..., 18].astype(jnp.int32), tex_weight=rows[..., 19],
+        uv_scale=rows[..., 20])
 
 
 def sample_albedo(mat: MaterialTable, pos, uv, textures: Optional[jax.Array]):

@@ -37,8 +37,10 @@ def _bucket(n: int) -> int:
 
 
 def _table(cls, count: int, **cols):
-    """Build a padded device table of `cls` from host column lists."""
-    nb = _bucket(max(1, count))
+    """Build a padded device table of `cls` from host column lists.
+    A zero-count table gets zero rows, so its primitive type compiles out
+    of the frame program entirely."""
+    nb = _bucket(count) if count else 0
     mask = np.zeros(nb, np.bool_)
     mask[:count] = True
     out = {}
