@@ -1,0 +1,86 @@
+"""Video pipeline: Lanczos resample matrices, synthetic reader, full
+frame->cells conversion, and ffmpeg reader (skipped without ffmpeg)."""
+
+import shutil
+
+import numpy as np
+import pytest
+
+from yetanotherconsolegameengine_tpu.video.readers import SyntheticReader
+from yetanotherconsolegameengine_tpu.video.renderer import (
+    VideoRenderer, _fit_rect, _lanczos_weights)
+
+
+def test_lanczos_weights_partition_of_unity():
+    for (src, dst) in ((320, 80), (100, 240), (64, 64)):
+        w = _lanczos_weights(src, dst)
+        assert w.shape == (dst, src)
+        np.testing.assert_allclose(w.sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_lanczos_preserves_constant_image():
+    w = _lanczos_weights(200, 50)
+    const = np.full(200, 0.7, np.float32)
+    np.testing.assert_allclose(w @ const, 0.7, atol=1e-5)
+
+
+def test_fit_rect_aspect():
+    # 16:9 source into a wide destination: height-limited.
+    x0, y0, w, h = _fit_rect(1920, 1080, 400, 100)
+    assert h == 100 and abs(w - 178) <= 2 and y0 == 0 and x0 > 0
+    # into a tall destination: width-limited.
+    x0, y0, w, h = _fit_rect(1920, 1080, 100, 400)
+    assert w == 100 and y0 > 0
+
+
+def test_synthetic_reader_frames_animate():
+    r = SyntheticReader(width=64, height=32)
+    f1 = r.try_get_frame()
+    import time
+    time.sleep(0.05)
+    f2 = r.try_get_frame()
+    assert f1.shape == (32, 64, 3) and f1.dtype == np.uint8
+    assert not np.array_equal(f1, f2)
+
+
+def test_video_renderer_end_to_end():
+    r = SyntheticReader(width=96, height=54)
+    vr = VideoRenderer(r, fb_w=40, fb_h=20, ss=1)
+    out = vr.render()
+    assert out is not None
+    top, bot, fg, bg = out
+    top = np.asarray(top)
+    assert top.shape == (20, 40, 3)
+    assert np.isfinite(top).all()
+    assert 0.0 <= top.min() and top.max() <= 1.0
+    assert np.asarray(fg).min() >= 0 and np.asarray(fg).max() <= 255
+    # Plasma fills the whole aspect-fit region with varied colors.
+    assert top.std() > 0.05
+
+
+@pytest.mark.skipif(shutil.which("ffmpeg") is None
+                    or shutil.which("ffprobe") is None,
+                    reason="ffmpeg not installed")
+def test_ffmpeg_reader_roundtrip(tmp_path):
+    import subprocess
+    from yetanotherconsolegameengine_tpu.video.readers import (
+        FfmpegVideoReader, probe_video)
+
+    path = str(tmp_path / "test.mp4")
+    subprocess.run(
+        ["ffmpeg", "-v", "quiet", "-f", "lavfi", "-i",
+         "testsrc=size=128x72:rate=10:duration=1", path],
+        check=True, timeout=60)
+    w, h, fps = probe_video(path)
+    assert (w, h) == (128, 72) and abs(fps - 10) < 0.1
+    r = FfmpegVideoReader(path, loop=False)
+    import time
+    frame = None
+    for _ in range(100):
+        frame = r.try_get_frame()
+        if frame is not None:
+            break
+        time.sleep(0.02)
+    r.close()
+    assert frame is not None and frame.shape == (72, 128, 3)
+    assert frame.std() > 1.0  # testsrc has structure

@@ -55,6 +55,7 @@ class RaytraceComponent(BaseComponent):
         self.show_hud = True
         self._frame_times: List[float] = []
         self._volume = None  # active VolumeScene, if any
+        self._video = None   # active VideoRenderer, if any
         self._switch_to(self.scene_idx, force=True)
 
     # -- scene table (GetOrBuildScene, RaytraceEntity.cs:303-315) ----------
@@ -117,7 +118,30 @@ class RaytraceComponent(BaseComponent):
             self.fb.to_png(f"/tmp/yacge_{self.scene_names[self.scene_idx]}"
                            f"_{int(time.time())}.png")
             return True
+        if k == "v":
+            # Video mode toggle (RaytraceEntity's Raytrace/Video mode,
+            # RaytraceEntity.cs:248-282); synthetic source by default,
+            # a real file via the YACGE_VIDEO env var + ffmpeg.
+            self._toggle_video()
+            return True
         return False
+
+    def _toggle_video(self):
+        if self._video is not None:
+            self._video.reader.close()
+            self._video = None
+            return
+        import os
+        from ..video.readers import FfmpegVideoReader, SyntheticReader
+        from ..video.renderer import VideoRenderer
+        path = os.environ.get("YACGE_VIDEO", "")
+        try:
+            reader = (FfmpegVideoReader(path) if path
+                      else SyntheticReader())
+        except RuntimeError:
+            reader = SyntheticReader()
+        self._video = VideoRenderer(reader, self.fb.width, self.fb.height,
+                                    ss=self.ss)
 
     def handle_mouse(self, ev) -> bool:
         return self.camera.handle_mouse(ev)
@@ -133,6 +157,14 @@ class RaytraceComponent(BaseComponent):
 
     def update(self, dt: float):
         inp = getattr(self.entity, "input", None)
+        if self._video is not None:
+            out = self._video.render()
+            if out is not None:
+                top, bot, fg, bg = out
+                self.fb.blit_half_blocks(top, bot, fg, bg)
+            if self.show_hud:
+                self.fb.write_text(0, 0, " video mode (V to exit) ")
+            return
         if self._volume is not None:
             vs = self._volume
             if inp is not None:

@@ -38,6 +38,12 @@ from ..scene.tables import SceneData
 
 LANES = 128
 TILE_R = 32            # rows per tile -> (32, 128) = 4096 pixels/program
+# Kernel-side path stack depth. The reference's 16 slots are generous
+# (RaytraceRenderer.cs:450); pushes are <=2 per refraction event with
+# mirror depth <=2, so 8 never overflows in practice and halves the
+# VMEM-resident stack + push/pop select cost. Overflowing pushes drop,
+# exactly like the reference when its stack fills.
+KERNEL_STACK = 8
 INF = 3.0e38
 _EPS = 1e-4
 
@@ -656,7 +662,7 @@ def build_kernel(hs: _HostScene, cfg: RenderConfig, n_pixels: int):
             return acc_r, acc_g, acc_b
 
         # ---- wavefront state -------------------------------------------
-        S = cfg.path_stack_size
+        S = min(cfg.path_stack_size, KERNEL_STACK)
         st = dict(
             ox=ox0, oy=oy0, oz=oz0, dx=dx0, dy=dy0, dz=dz0,
             br=jnp.ones(shape, jnp.float32), bg=jnp.ones(shape, jnp.float32),

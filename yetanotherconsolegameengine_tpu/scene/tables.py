@@ -266,6 +266,13 @@ class SceneBuilder:
         self.textures.append(np.asarray(image, np.float32))
         return len(self.textures) - 1
 
+    def add_texture_file(self, path: str) -> int:
+        """Load an image file as a texture (the reference's OpenCV imread
+        path, Renderer/Texture.cs:13-60), sRGB-decoded to linear."""
+        from PIL import Image
+        img = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
+        return self.add_texture(img ** 2.2)
+
     def add_light(self, pos, color, intensity):
         self._lights.append((tuple(pos), tuple(color), float(intensity)))
 
