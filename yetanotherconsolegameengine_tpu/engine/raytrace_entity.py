@@ -55,6 +55,7 @@ class RaytraceComponent(BaseComponent):
         self.show_hud = True
         self._frame_times: List[float] = []
         self._volume = None  # active VolumeScene, if any
+        self._dynamic = None  # active DynamicScene, if any
         self._video = None   # active VideoRenderer, if any
         self._switch_to(self.scene_idx, force=True)
 
@@ -77,23 +78,35 @@ class RaytraceComponent(BaseComponent):
         self.scene_idx = idx % len(self.scene_names)
         name = self.scene_names[self.scene_idx]
         obj = self._get_or_build(name)
+        from ..scene.entities import DynamicScene
         from ..world.volume_scene import VolumeScene
+        self._volume = None
+        self._dynamic = None
         if isinstance(obj, VolumeScene):
             self._volume = obj
             scene = obj.update(0.0)
             self.camera.set_pose(tuple(obj.pos), obj.yaw, obj.pitch)
+        elif isinstance(obj, DynamicScene):
+            self._dynamic = obj
+            scene = obj.at_time(obj.t)
+            d = scene.defaults
+            self.camera.set_pose(d[0:3], d[3], d[4])
         else:
-            self._volume = None
             scene = obj
             d = scene.defaults
             self.camera.set_pose(d[0:3], d[3], d[4])
+        static = self._volume is None and self._dynamic is None
         if self.renderer is None:
-            self.renderer = RaytraceRenderer(scene, fb_w=self.fb.width,
-                                             fb_h=self.fb.height, ss=self.ss)
+            self.renderer = RaytraceRenderer(
+                scene, fb_w=self.fb.width, fb_h=self.fb.height, ss=self.ss,
+                use_pallas=static)
+            if not static:
+                self.renderer.set_scene(scene, reset_camera=False,
+                                        static=False)
         else:
             # jit re-specializes per scene table shapes automatically; the
             # TAA/exposure state resets here (fresh history on switch).
-            self.renderer.set_scene(scene, reset_camera=False)
+            self.renderer.set_scene(scene, reset_camera=False, static=static)
 
     # -- input (RaytraceEntity.HandleInput, :168-213) ------------------------
 
@@ -189,6 +202,10 @@ class RaytraceComponent(BaseComponent):
             scene = vs.update(dt)
             self.renderer.scene = scene
             self.camera.set_pose(tuple(vs.pos), vs.yaw, vs.pitch)
+        elif self._dynamic is not None:
+            self.renderer.scene = self._dynamic.update(dt)
+            if inp is not None:
+                self.camera.update(inp, dt)
         elif inp is not None:
             self.camera.update(inp, dt)
 

@@ -97,6 +97,13 @@ def intersect_voxels(w: VoxelWorld, o, d, tmin, tmax) -> Hit:
 
     eps = 1e-4 * h
 
+    # 1-D flattened tables: a single linear-index gather per step lowers
+    # far better on TPU than a 3-D advanced-indexing gather.
+    cells_flat = w.cells.reshape(-1)
+    occ_flat = w.occ.reshape(-1)
+    nbz = w.occ.shape[2]
+    nbyz = w.occ.shape[1] * nbz
+
     def body(st):
         t, axis, alive = st["t"], st["axis"], st["alive"]
         p = o + (t + eps)[:, None] * d
@@ -104,7 +111,8 @@ def intersect_voxels(w: VoxelWorld, o, d, tmin, tmax) -> Hit:
         in_grid = jnp.all((cell >= 0) & (cell < dims[None]), axis=-1)
         alive = alive & in_grid & (t < jnp.minimum(t_exit, t_hi))
         cc = jnp.clip(cell, 0, dims[None] - 1)
-        mid = w.cells[cc[:, 0], cc[:, 1], cc[:, 2]].astype(jnp.int32)
+        lin = (cc[:, 0] * ny + cc[:, 1]) * nz + cc[:, 2]
+        mid = cells_flat[lin].astype(jnp.int32)
         solid = alive & (mid != 0)
         newly = solid & ~st["hit"]
         st["hit"] = st["hit"] | newly
@@ -116,7 +124,8 @@ def intersect_voxels(w: VoxelWorld, o, d, tmin, tmax) -> Hit:
         #
 
         brick = cc // BRICK
-        occ = w.occ[brick[:, 0], brick[:, 1], brick[:, 2]]
+        occ = occ_flat[(brick[:, 0] * nbyz) + brick[:, 1] * nbz
+                       + brick[:, 2]]
         step = jnp.where(occ, 1, BRICK)[:, None]                  # cells
         base = (cell // step) * step
         nxt = jnp.where(d > 0.0, (base + step).astype(jnp.float32),

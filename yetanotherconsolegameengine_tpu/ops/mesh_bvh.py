@@ -230,6 +230,23 @@ def _subtree_size(nodes, ni) -> int:
     return total
 
 
+def _pack_nodes(bvh: MeshBVH):
+    """(N, 8) rows: bmin(3) bmax(3) skip meta — ONE row gather per
+    traversal step instead of five (TPU gathers cost ~5x the compute they
+    feed; packing is the single biggest mesh-traversal lever)."""
+    meta = (bvh.tri_start * (LEAF_K + 1) + bvh.tri_count).astype(jnp.float32)
+    return jnp.concatenate(
+        [bvh.bmin, bvh.bmax, bvh.skip.astype(jnp.float32)[:, None],
+         meta[:, None]], axis=1)
+
+
+def _pack_tris(bvh: MeshBVH):
+    """(T, 13) rows: a(3) e1(3) e2(3) n(3) mat."""
+    return jnp.concatenate(
+        [bvh.a, bvh.e1, bvh.e2, bvh.n,
+         bvh.mat.astype(jnp.float32)[:, None]], axis=1)
+
+
 def intersect_mesh(bvh: MeshBVH, o, d, tmin, tmax) -> Hit:
     """Stackless lockstep traversal. o/d: (P, 3); returns nearest Hit.
 
@@ -242,6 +259,8 @@ def intersect_mesh(bvh: MeshBVH, o, d, tmin, tmax) -> Hit:
     t_hi0 = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (P,))
     n_nodes = bvh.n_nodes
     inv_d = _safe_div(jnp.ones_like(o), d)
+    packed_nodes = _pack_nodes(bvh)
+    packed_tris = _pack_tris(bvh)
 
     k_iota = jnp.arange(LEAF_K, dtype=jnp.int32)
 
@@ -251,31 +270,37 @@ def intersect_mesh(bvh: MeshBVH, o, d, tmin, tmax) -> Hit:
     def body(st):
         node = jnp.minimum(st["node"], n_nodes - 1)
         active = st["node"] < n_nodes
-        nb_min = bvh.bmin[node]                       # (P, 3)
-        nb_max = bvh.bmax[node]
+        row = packed_nodes[node]                      # (P, 8) ONE gather
+        nb_min = row[:, 0:3]
+        nb_max = row[:, 3:6]
+        skip_link = row[:, 6].astype(jnp.int32)
+        meta = row[:, 7].astype(jnp.int32)
+        tri_start = meta // (LEAF_K + 1)
+        count = meta % (LEAF_K + 1)
         ta = (nb_min - o) * inv_d
         tb = (nb_max - o) * inv_d
         t0 = jnp.max(jnp.minimum(ta, tb), axis=-1)
         t1 = jnp.min(jnp.maximum(ta, tb), axis=-1)
         box_hit = active & (t0 <= t1) & (t1 >= t_lo) & (t0 <= st["t"])
 
-        count = bvh.tri_count[node]
         is_leaf = count > 0
         do_leaf = box_hit & is_leaf
 
-        # Dense K-wide leaf triangle batch (masked by count).
-        ti = bvh.tri_start[node][:, None] + k_iota[None, :]   # (P, K)
-        la = bvh.a[ti]                                        # (P, K, 3)
-        le1 = bvh.e1[ti]
-        le2 = bvh.e2[ti]
+        # Dense K-wide leaf triangle batch (masked by count); ONE row
+        # gather for all 13 per-triangle floats.
+        ti = tri_start[:, None] + k_iota[None, :]             # (P, K)
+        trow = packed_tris[ti]                                # (P, K, 13)
+        la = trow[..., 0:3]
+        le1 = trow[..., 3:6]
+        le2 = trow[..., 6:9]
         h = jnp.cross(d[:, None, :], le2)
-        det = jnp.einsum("pkc,pkc->pk", le1, h)
+        det = jnp.sum(le1 * h, axis=-1)
         inv_det = _safe_div(jnp.ones_like(det), det)
         s = o[:, None, :] - la
-        u = jnp.einsum("pkc,pkc->pk", s, h) * inv_det
+        u = jnp.sum(s * h, axis=-1) * inv_det
         q = jnp.cross(s, le1)
-        v = jnp.einsum("pc,pkc->pk", d, q) * inv_det
-        tt = jnp.einsum("pkc,pkc->pk", le2, q) * inv_det
+        v = jnp.sum(d[:, None, :] * q, axis=-1) * inv_det
+        tt = jnp.sum(le2 * q, axis=-1) * inv_det
         valid = (do_leaf[:, None]
                  & (k_iota[None, :] < count[:, None])
                  & (jnp.abs(det) >= 1e-8)
@@ -283,22 +308,22 @@ def intersect_mesh(bvh: MeshBVH, o, d, tmin, tmax) -> Hit:
                  & (v >= 0.0) & (u + v <= 1.0)
                  & (tt >= t_lo[:, None]) & (tt < st["t"][:, None]))
         tt = jnp.where(valid, tt, INF)
-        kbest = jnp.argmin(tt, axis=1)
-        t_leaf = jnp.take_along_axis(tt, kbest[:, None], axis=1)[:, 0]
+        # First-min select over the K lanes (no argmin+gather chains).
+        t_leaf = jnp.min(tt, axis=1)
+        is_min = (tt == t_leaf[:, None]) & (tt < INF)
+        first = jnp.cumsum(is_min.astype(jnp.int32), axis=1) == 1
+        sel = (is_min & first).astype(jnp.float32)            # (P, K)
         better = t_leaf < st["t"]
         st["t"] = jnp.where(better, t_leaf, st["t"])
         st["tri"] = jnp.where(
-            better, jnp.take_along_axis(ti, kbest[:, None], axis=1)[:, 0],
+            better,
+            jnp.sum(sel * ti.astype(jnp.float32), axis=1).astype(jnp.int32),
             st["tri"])
-        st["u"] = jnp.where(
-            better, jnp.take_along_axis(u, kbest[:, None], axis=1)[:, 0],
-            st["u"])
-        st["v"] = jnp.where(
-            better, jnp.take_along_axis(v, kbest[:, None], axis=1)[:, 0],
-            st["v"])
+        st["u"] = jnp.where(better, jnp.sum(sel * u, axis=1), st["u"])
+        st["v"] = jnp.where(better, jnp.sum(sel * v, axis=1), st["v"])
 
         descend = box_hit & ~is_leaf
-        nxt = jnp.where(descend, node + 1, bvh.skip[node])
+        nxt = jnp.where(descend, node + 1, skip_link)
         st["node"] = jnp.where(active, nxt, st["node"])
         return st
 
@@ -309,8 +334,10 @@ def intersect_mesh(bvh: MeshBVH, o, d, tmin, tmax) -> Hit:
     ))
 
     hit = st["t"] < t_hi0
-    nrm = bvh.n[st["tri"]]
+    wrow = packed_tris[st["tri"]]        # one winner-row gather
+    nrm = wrow[:, 9:12]
     flip = jnp.sum(nrm * d, axis=-1) >= 0.0
     nrm = jnp.where(flip[:, None], -nrm, nrm)
     return Hit(t=jnp.where(hit, st["t"], INF), n=nrm,
-               u=st["u"], v=st["v"], mat=bvh.mat[st["tri"]], hit=hit)
+               u=st["u"], v=st["v"], mat=wrow[:, 12].astype(jnp.int32),
+               hit=hit)

@@ -304,10 +304,14 @@ class RaytraceRenderer:
         self.state = init_state(fb_w, fb_h, self.ss)
         self._compile()
 
-    def set_scene(self, scene: SceneData, reset_camera: bool = True):
+    def set_scene(self, scene: SceneData, reset_camera: bool = True,
+                  static: bool = True):
+        """``static=False`` marks per-frame-mutating geometry: the Pallas
+        megakernel (which bakes the scene at compile time) is bypassed and
+        the XLA trace path is used."""
         self.scene = scene
         self.state = init_state(self.fb_w, self.fb_h, self.ss)
-        self._hs = self._host_scene()
+        self._hs = self._host_scene() if static else None
         self._cam_cache = None
         if reset_camera:
             d = scene.defaults

@@ -251,6 +251,8 @@ def _register_lazy_builders():
         SCENE_BUILDERS.update(VOXEL_SCENE_BUILDERS)
     except ImportError:
         pass
+    from .showcase_scenes import SHOWCASE_SCENE_BUILDERS
+    SCENE_BUILDERS.update(SHOWCASE_SCENE_BUILDERS)
 
 
 _register_lazy_builders()
