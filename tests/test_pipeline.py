@@ -61,13 +61,39 @@ def test_taa_resets_on_camera_motion():
 
 
 def test_all_registered_scenes_render():
+    from yetanotherconsolegameengine_tpu.scene.entities import DynamicScene
     for name, build in builders.SCENE_BUILDERS.items():
-        scene = build()
+        obj = build()
+        scene = obj.at_time(0.0) if isinstance(obj, DynamicScene) else obj
         step = jax.jit(functools.partial(R.frame_step, fb_w=24, fb_h=12, ss=1))
         out, _ = step(scene, scene.default_pose, R.init_state(24, 12, 1))
         top = np.asarray(out.top_rgb)
         assert np.isfinite(top).all(), name
         assert ((top >= 0) & (top <= 1)).all(), name
+
+
+def test_row_sharded_step_matches_single_device():
+    """Multi-chip pixel sharding produces the single-device image
+    (8 virtual CPU devices; SURVEY.md §2.8 P1's TPU scale-out axis)."""
+    from yetanotherconsolegameengine_tpu.parallel import sharding
+
+    scene = builders.build_cornell_box()
+    mesh = sharding.make_mesh(8)
+    step, sh_scene, sh_state = sharding.make_sharded_step(
+        mesh, scene, fb_w=32, fb_h=16, ss=1)
+    cam = scene.default_pose
+    out_sh, sh_state = step(sh_scene, cam, sh_state)
+    out_sh, _ = step(sh_scene, cam, sh_state)
+
+    single = jax.jit(functools.partial(R.frame_step, fb_w=32, fb_h=16, ss=1))
+    state = R.init_state(32, 16, 1)
+    out_1, state = single(scene, cam, state)
+    out_1, _ = single(scene, cam, state)
+
+    np.testing.assert_allclose(np.asarray(out_sh.top_rgb),
+                               np.asarray(out_1.top_rgb), atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(out_sh.fg_ansi),
+                                  np.asarray(out_1.fg_ansi))
 
 
 def test_supersampling_shapes():

@@ -40,6 +40,8 @@ def main(argv=None) -> int:
                     help="enable SGR mouse capture")
     ap.add_argument("--non-interactive", action="store_true",
                     help="no raw mode / alt screen (pipes, CI)")
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="capture a jax.profiler device trace to DIR")
     args = ap.parse_args(argv)
 
     term = Terminal(backend=args.backend, enable_mouse=args.mouse,
@@ -59,7 +61,12 @@ def main(argv=None) -> int:
     term.add_entity(entity)
     term.on_resize = rt.resize
 
-    term.start(max_frames=args.frames, target_fps=args.fps)
+    if args.profile:
+        from ..utils.profiling import device_trace
+        with device_trace(args.profile):
+            term.start(max_frames=args.frames, target_fps=args.fps)
+    else:
+        term.start(max_frames=args.frames, target_fps=args.fps)
     return 0
 
 
