@@ -57,6 +57,7 @@ class RaytraceComponent(BaseComponent):
         self._volume = None  # active VolumeScene, if any
         self._dynamic = None  # active DynamicScene, if any
         self._video = None   # active VideoRenderer, if any
+        self._pending = None  # frame in flight (blitted next tick)
         self._switch_to(self.scene_idx, force=True)
 
     # -- scene table (GetOrBuildScene, RaytraceEntity.cs:303-315) ----------
@@ -75,6 +76,7 @@ class RaytraceComponent(BaseComponent):
         if not force and now - self._last_switch < SCENE_SWITCH_COOLDOWN:
             return
         self._last_switch = now
+        self._pending = None
         self.scene_idx = idx % len(self.scene_names)
         name = self.scene_names[self.scene_idx]
         obj = self._get_or_build(name)
@@ -163,6 +165,7 @@ class RaytraceComponent(BaseComponent):
 
     def resize(self, fb: Framebuffer):
         self.fb = fb
+        self._pending = None
         if self.renderer is not None:
             self.renderer.resize(fb.width, fb.height, self.ss)
 
@@ -212,9 +215,16 @@ class RaytraceComponent(BaseComponent):
         r = self.renderer
         r.set_camera(self.camera.pos, self.camera.yaw, self.camera.pitch)
         t0 = time.perf_counter()
+        # One frame in flight (SURVEY.md §7 "Terminal interactivity with
+        # device latency"): dispatch frame N, blit frame N-1 — the
+        # device->host sync of the previous frame overlaps this frame's
+        # compute. JAX dispatch is async, so render() returns immediately.
         out = r.render()
-        fg = out.fg_ansi  # device->host sync happens on np.asarray in blit
-        self.fb.blit_half_blocks(out.top_rgb, out.bot_rgb, fg, out.bg_ansi)
+        if self._pending is not None:
+            p = self._pending
+            self.fb.blit_half_blocks(p.top_rgb, p.bot_rgb, p.fg_ansi,
+                                     p.bg_ansi)
+        self._pending = out
         frame_ms = (time.perf_counter() - t0) * 1000.0
         self._frame_times.append(frame_ms)
         if len(self._frame_times) > 30:

@@ -68,6 +68,23 @@ def probe_video(path: str) -> Tuple[int, int, float]:
     return int(info["width"]), int(info["height"]), fps
 
 
+def open_camera(device: str = "/dev/video0", width: int = 640,
+                height: int = 360, fps: float = 30.0) -> "FfmpegVideoReader":
+    """Live camera capture (AsyncCameraReader.cs role): the same ffmpeg
+    raw-RGB pipe reading from a v4l2 device instead of a file (the image
+    has no OpenCV; ffmpeg's v4l2 demuxer replaces VideoCapture)."""
+    r = FfmpegVideoReader.__new__(FfmpegVideoReader)
+    r.path = device
+    r.fps = fps
+    r.width = width
+    r.height = height
+    r.loop = False
+    r._extra_args = ["-f", "v4l2", "-framerate", str(int(fps)),
+                     "-video_size", f"{width}x{height}"]
+    r._init_buffers()
+    return r
+
+
 class FfmpegVideoReader:
     """ffmpeg subprocess -> raw RGB frames, double-buffered on a thread.
 
@@ -84,6 +101,10 @@ class FfmpegVideoReader:
         self.width = width or src_w
         self.height = height or src_h
         self.loop = loop
+        self._extra_args: list = []
+        self._init_buffers()
+
+    def _init_buffers(self):
         self._frame_bytes = self.width * self.height * 3
         self._buffers = [np.zeros((self.height, self.width, 3), np.uint8)
                          for _ in range(2)]
@@ -91,7 +112,6 @@ class FfmpegVideoReader:
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._proc: Optional[subprocess.Popen] = None
-        self._last_serve = 0.0
         self._thread = threading.Thread(target=self._read_loop, daemon=True)
         self._thread.start()
 
@@ -100,7 +120,7 @@ class FfmpegVideoReader:
         if ffmpeg is None:
             raise RuntimeError("ffmpeg not found")
         return subprocess.Popen(
-            [ffmpeg, "-v", "quiet", "-i", self.path,
+            [ffmpeg, "-v", "quiet", *self._extra_args, "-i", self.path,
              "-f", "rawvideo", "-pix_fmt", "rgb24",
              "-s", f"{self.width}x{self.height}", "pipe:1"],
             stdout=subprocess.PIPE, start_new_session=True)
