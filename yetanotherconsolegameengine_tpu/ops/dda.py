@@ -134,6 +134,8 @@ def intersect_voxels(w: VoxelWorld, o, d, tmin, tmax) -> Hit:
     nbyz = w.dist.shape[1] * nbz
 
     def body(st):
+        o, d, inv_d = st["o"], st["d"], st["inv"]
+        t_exit, t_hi = st["texit"], st["thi"]
         t, axis, alive = st["t"], st["axis"], st["alive"]
         p = o + (t + eps)[:, None] * d
         cell = jnp.floor((p - gmin[None]) / h).astype(jnp.int32)
@@ -175,13 +177,36 @@ def intersect_voxels(w: VoxelWorld, o, d, tmin, tmax) -> Hit:
         st["alive"] = alive
         return st
 
-    st = jax.lax.while_loop(
-        lambda st: jnp.any(st["alive"]),
-        body,
-        dict(t=t_start, axis=enter_axis, alive=alive0,
-             hit=jnp.zeros(P, bool), t_hit=jnp.full(P, INF, jnp.float32),
-             axis_hit=jnp.zeros(P, jnp.int32),
-             mat=jnp.zeros(P, jnp.int32)))
+    st = dict(t=t_start, axis=enter_axis, alive=alive0,
+              hit=jnp.zeros(P, bool), t_hit=jnp.full(P, INF, jnp.float32),
+              axis_hit=jnp.zeros(P, jnp.int32),
+              mat=jnp.zeros(P, jnp.int32),
+              o=o, d=d, inv=inv_d, texit=t_exit, thi=t_hi)
+
+    # Ray compaction (same scheme as ops/mesh_bvh.py): lockstep step count
+    # is the MAX march length over all rays; once most rays resolve, pack
+    # the survivors into a P/4 then P/16 batch and finish narrow.
+    def n_alive(s):
+        return jnp.sum(s["alive"].astype(jnp.int32))
+
+    result_keys = ("t", "axis", "alive", "hit", "t_hit", "axis_hit", "mat")
+
+    def compact_run(st, widths):
+        if not widths:
+            return jax.lax.while_loop(lambda s: jnp.any(s["alive"]),
+                                      body, st)
+        M = widths[0]
+        st = jax.lax.while_loop(lambda s: n_alive(s) > M, body, st)
+        order = jnp.argsort(jnp.where(st["alive"], 0, 1).astype(jnp.int32))
+        idx = order[:M]
+        sub = {k: v[idx] for k, v in st.items()}
+        sub = compact_run(sub, widths[1:])
+        for k in result_keys:
+            st[k] = st[k].at[idx].set(sub[k])
+        return st
+
+    widths = [m for m in (P // 4, P // 16) if m >= 512]
+    st = compact_run(st, widths if P >= 4096 else [])
 
     hit = st["hit"]
     n = (jax.nn.one_hot(st["axis_hit"], 3, dtype=jnp.float32)
