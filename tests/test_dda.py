@@ -9,8 +9,9 @@ from yetanotherconsolegameengine_tpu.ops.dda import (
 
 
 def _brute_force_t(cells, origin, h, o, d):
-    """Nearest solid-cell hit distance by slab-testing every solid cell."""
-    xs, ys, zs = np.where(cells != 0)
+    """Nearest solid-cell hit distance by slab-testing every solid cell.
+    ``cells`` may be distance-encoded (solid iff value > 0)."""
+    xs, ys, zs = np.where(cells > 0)
     bmin = origin + np.stack([xs, ys, zs], 1) * h          # (N, 3)
     bmax = bmin + h
     inv = 1.0 / np.where(np.abs(d) < 1e-12, 1e-12, d)      # (P, 3)

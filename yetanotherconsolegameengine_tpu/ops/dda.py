@@ -42,18 +42,19 @@ MAX_DIST = 15  # Chebyshev distance cap (bricks)
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class VoxelWorld:
-    """Device-resident dense voxel grid + brick distance field.
+    """Device-resident dense voxel grid with embedded distance encoding.
 
-    ``cells``: (nx, ny, nz) int16 material-bank ids, 0 = air.
-    ``dist``: (nx/8, ny/8, nz/8) int16 — Chebyshev distance in bricks to
-    the nearest occupied brick (0 = this brick has solids). The DDA jumps
-    (dist-1) whole bricks through empty space: a ray with a unit direction
-    moves <= s in L-inf per distance s, so the jump can never skip a solid
-    brick. Grid dims are padded up to brick multiples at build.
+    ``cells``: (nx, ny, nz) int16. Positive = material-bank id (solid);
+    non-positive = -(D+1) where D is the Chebyshev distance in bricks from
+    this cell's brick to the nearest occupied brick. Embedding the
+    distance in the cell value means the DDA needs ONE gather per step
+    (gathers dominate traversal cost on TPU). The DDA jumps (D-1) whole
+    bricks through empty space: a unit-direction ray moves <= s in L-inf
+    per distance s, so the jump can never skip a solid brick. Grid dims
+    are padded up to brick multiples at build.
     """
 
-    cells: jax.Array     # (nx, ny, nz) i16
-    dist: jax.Array      # (nbx, nby, nbz) i16
+    cells: jax.Array     # (nx, ny, nz) i16, distance-encoded
     origin: jax.Array    # (3,) world-space min corner
     voxel_size: jax.Array  # () f32
 
@@ -89,12 +90,23 @@ def brick_distance_field(cells) -> jax.Array:
     return jax.lax.fori_loop(0, MAX_DIST, body, d)
 
 
+@jax.jit
+def encode_cells(cells) -> jax.Array:
+    """Material ids -> distance-encoded cells (see VoxelWorld)."""
+    dist = brick_distance_field(cells)
+    up = dist
+    for axis in range(3):
+        up = jnp.repeat(up, BRICK, axis=axis)
+    return jnp.where(cells > 0, cells,
+                     (-(up.astype(jnp.int16)) - 1)).astype(jnp.int16)
+
+
 def build_voxel_world(cells: np.ndarray, origin, voxel_size: float) -> VoxelWorld:
     """cells: (nx, ny, nz) int material-bank ids (0 = air)."""
     cells = np.asarray(cells)
     pad = [(0, (-cells.shape[i]) % BRICK) for i in range(3)]
     cells = jnp.asarray(np.pad(cells, pad).astype(np.int16))
-    return VoxelWorld(cells=cells, dist=brick_distance_field(cells),
+    return VoxelWorld(cells=encode_cells(cells),
                       origin=jnp.asarray(origin, jnp.float32),
                       voxel_size=jnp.asarray(voxel_size, jnp.float32))
 
@@ -126,12 +138,9 @@ def intersect_voxels(w: VoxelWorld, o, d, tmin, tmax) -> Hit:
 
     eps = 1e-4 * h
 
-    # 1-D flattened tables: a single linear-index gather per step lowers
-    # far better on TPU than a 3-D advanced-indexing gather.
+    # 1-D flattened table: ONE linear-index gather per step (the encoded
+    # cells carry both material and brick distance).
     cells_flat = w.cells.reshape(-1)
-    dist_flat = w.dist.reshape(-1)
-    nbz = w.dist.shape[2]
-    nbyz = w.dist.shape[1] * nbz
 
     def body(st):
         o, d, inv_d = st["o"], st["d"], st["inv"]
@@ -143,8 +152,9 @@ def intersect_voxels(w: VoxelWorld, o, d, tmin, tmax) -> Hit:
         alive = alive & in_grid & (t < jnp.minimum(t_exit, t_hi))
         cc = jnp.clip(cell, 0, dims[None] - 1)
         lin = (cc[:, 0] * ny + cc[:, 1]) * nz + cc[:, 2]
-        mid = cells_flat[lin].astype(jnp.int32)
-        solid = alive & (mid != 0)
+        enc = cells_flat[lin].astype(jnp.int32)
+        mid = jnp.maximum(enc, 0)
+        solid = alive & (enc > 0)
         newly = solid & ~st["hit"]
         st["hit"] = st["hit"] | newly
         st["t_hit"] = jnp.where(newly, t, st["t_hit"])
@@ -152,11 +162,7 @@ def intersect_voxels(w: VoxelWorld, o, d, tmin, tmax) -> Hit:
         st["mat"] = jnp.where(newly, mid, st["mat"])
         alive = alive & ~solid
 
-        #
-
-        brick = cc // BRICK
-        d_br = dist_flat[(brick[:, 0] * nbyz) + brick[:, 1] * nbz
-                         + brick[:, 2]].astype(jnp.int32)
+        d_br = jnp.maximum(-enc - 1, 0)   # brick distance from the encoding
         step = jnp.where(d_br == 0, 1, BRICK)[:, None]            # cells
         base = (cell // step) * step
         nxt = jnp.where(d > 0.0, (base + step).astype(jnp.float32),

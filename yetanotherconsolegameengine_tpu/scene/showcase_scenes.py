@@ -126,7 +126,9 @@ def build_exhibit_ring(seed: int = 1337) -> DynamicScene:
     # 12 themed vignettes on the ring (TestScenesRandom.cs:120-700).
     R = 7.0
     for k in range(12):
-        ang = k * 2.0 * math.pi / 12.0
+        # Half-step offset so no vignette sits on the camera axis and the
+        # central hero stays visible (TestScenesRandom centers the dragon).
+        ang = (k + 0.5) * 2.0 * math.pi / 12.0
         cx, cz = R * math.cos(ang), R * math.sin(ang)
         theme = k % 6
         rgb = _hsv(rng.rand(), 0.6 + 0.4 * rng.rand(), 0.6 + 0.4 * rng.rand())

@@ -35,7 +35,7 @@ from .settings import WorldConfig
 ChunkKey = Tuple[int, int, int]
 
 
-from ..ops.dda import brick_distance_field as _dist_from_cells
+from ..ops.dda import encode_cells as _encode_cells
 
 
 def _update_chunk(cells, chunk, x0, y0, z0):
@@ -65,7 +65,7 @@ class WorldManager:
         self._wc: Optional[Tuple[int, int]] = None
         self._host = np.zeros((wx, wy, wx), np.int16)
         self._cells = jnp.zeros((wx, wy, wx), jnp.int16)
-        self._dist = _dist_from_cells(self._cells)
+        self._enc = _encode_cells(self._cells)
         self._occ_dirty = False
         self._loaded: set = set()
         self._desired: set = set()
@@ -264,13 +264,13 @@ class WorldManager:
     def voxel_world(self) -> VoxelWorld:
         """Current device window as a DDA-ready VoxelWorld."""
         if self._occ_dirty:
-            self._dist = _dist_from_cells(self._cells)
+            self._enc = _encode_cells(self._cells)
             self._occ_dirty = False
         ox, oy, oz = self._window_origin_vox()
         origin = jnp.asarray(
             [ox * self.cfg.voxel_size, oy * self.cfg.voxel_size,
              oz * self.cfg.voxel_size], jnp.float32)
-        return VoxelWorld(cells=self._cells, dist=self._dist, origin=origin,
+        return VoxelWorld(cells=self._enc, origin=origin,
                           voxel_size=jnp.asarray(self.cfg.voxel_size,
                                                  jnp.float32))
 
