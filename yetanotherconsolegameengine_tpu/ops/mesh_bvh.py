@@ -234,21 +234,25 @@ def _subtree_size(nodes, ni) -> int:
     return total
 
 
-def _pack_nodes(bvh: MeshBVH):
-    """(N, 8) rows: bmin(3) bmax(3) skip meta — ONE row gather per
-    traversal step instead of five (TPU gathers cost ~5x the compute they
-    feed; packing is the single biggest mesh-traversal lever)."""
-    meta = (bvh.tri_start * (LEAF_K + 1) + bvh.tri_count).astype(jnp.float32)
-    return jnp.concatenate(
+def _pack_nodes_fused(bvh: MeshBVH):
+    """(N, 8 + 13*LEAF_K) rows: bmin(3) bmax(3) skip count, then the
+    leaf's LEAF_K triangles inline (a e1 e2 n mat each).
+
+    Fusing the leaf triangles into the node row makes traversal exactly
+    ONE row gather per step — gathers dominate mesh-traversal cost on TPU
+    (they cost ~5x the compute they feed), so this is the single biggest
+    lever. Internal nodes carry zeroed triangle slots (masked by count).
+    """
+    head = jnp.concatenate(
         [bvh.bmin, bvh.bmax, bvh.skip.astype(jnp.float32)[:, None],
-         meta[:, None]], axis=1)
-
-
-def _pack_tris(bvh: MeshBVH):
-    """(T, 13) rows: a(3) e1(3) e2(3) n(3) mat."""
-    return jnp.concatenate(
+         bvh.tri_count.astype(jnp.float32)[:, None]], axis=1)   # (N, 8)
+    tri_rows = jnp.concatenate(
         [bvh.a, bvh.e1, bvh.e2, bvh.n,
-         bvh.mat.astype(jnp.float32)[:, None]], axis=1)
+         bvh.mat.astype(jnp.float32)[:, None]], axis=1)          # (T, 13)
+    k_iota = jnp.arange(LEAF_K, dtype=jnp.int32)
+    ti = bvh.tri_start[:, None] + k_iota[None, :]                # (N, K)
+    leaf = tri_rows[ti].reshape(bvh.n_nodes, LEAF_K * 13)
+    return jnp.concatenate([head, leaf], axis=1)
 
 
 def intersect_mesh(bvh: MeshBVH, o, d, tmin, tmax) -> Hit:
@@ -269,8 +273,7 @@ def intersect_mesh(bvh: MeshBVH, o, d, tmin, tmax) -> Hit:
     t_hi0 = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (P,))
     n_nodes = bvh.n_nodes
     inv_d = _safe_div(jnp.ones_like(o), d)
-    packed_nodes = _pack_nodes(bvh)
-    packed_tris = _pack_tris(bvh)
+    packed_nodes = _pack_nodes_fused(bvh)
 
     k_iota = jnp.arange(LEAF_K, dtype=jnp.int32)
 
@@ -281,13 +284,11 @@ def intersect_mesh(bvh: MeshBVH, o, d, tmin, tmax) -> Hit:
         t_lo = st["tlo"]
         node = jnp.minimum(st["node"], n_nodes - 1)
         active = st["node"] < n_nodes
-        row = packed_nodes[node]                      # (P, 8) ONE gather
+        row = packed_nodes[node]            # (P, 8+13K): THE round's gather
         nb_min = row[:, 0:3]
         nb_max = row[:, 3:6]
         skip_link = row[:, 6].astype(jnp.int32)
-        meta = row[:, 7].astype(jnp.int32)
-        tri_start = meta // (LEAF_K + 1)
-        count = meta % (LEAF_K + 1)
+        count = row[:, 7].astype(jnp.int32)
         ta = (nb_min - o) * inv_d
         tb = (nb_max - o) * inv_d
         t0 = jnp.max(jnp.minimum(ta, tb), axis=-1)
@@ -297,10 +298,8 @@ def intersect_mesh(bvh: MeshBVH, o, d, tmin, tmax) -> Hit:
         is_leaf = count > 0
         do_leaf = box_hit & is_leaf
 
-        # Dense K-wide leaf triangle batch (masked by count); ONE row
-        # gather for all 13 per-triangle floats.
-        ti = tri_start[:, None] + k_iota[None, :]             # (P, K)
-        trow = packed_tris[ti]                                # (P, K, 13)
+        # The leaf's triangles ride in the node row — no second gather.
+        trow = row[:, 8:].reshape(-1, LEAF_K, 13)             # (P, K, 13)
         la = trow[..., 0:3]
         le1 = trow[..., 3:6]
         le2 = trow[..., 6:9]
@@ -326,10 +325,14 @@ def intersect_mesh(bvh: MeshBVH, o, d, tmin, tmax) -> Hit:
         sel = (is_min & first).astype(jnp.float32)            # (P, K)
         better = t_leaf < st["t"]
         st["t"] = jnp.where(better, t_leaf, st["t"])
-        st["tri"] = jnp.where(
-            better,
-            jnp.sum(sel * ti.astype(jnp.float32), axis=1).astype(jnp.int32),
-            st["tri"])
+        # Winner attributes selected NOW from the in-row triangle data
+        # (first-min one-hot) — no end-of-traversal winner gather either.
+        sel3 = sel[..., None]
+        win_n = jnp.sum(sel3 * trow[..., 9:12], axis=1)       # (P, 3)
+        win_m = jnp.sum(sel * trow[..., 12], axis=1)
+        b3 = better[:, None]
+        st["wn"] = jnp.where(b3, win_n, st["wn"])
+        st["wm"] = jnp.where(better, win_m, st["wm"])
         st["u"] = jnp.where(better, jnp.sum(sel * u, axis=1), st["u"])
         st["v"] = jnp.where(better, jnp.sum(sel * v, axis=1), st["v"])
 
@@ -340,7 +343,8 @@ def intersect_mesh(bvh: MeshBVH, o, d, tmin, tmax) -> Hit:
 
     st = dict(
         node=jnp.zeros(P, jnp.int32),
-        t=t_hi0, tri=jnp.zeros(P, jnp.int32),
+        t=t_hi0,
+        wn=jnp.zeros((P, 3), jnp.float32), wm=jnp.zeros(P, jnp.float32),
         u=jnp.zeros(P, jnp.float32), v=jnp.zeros(P, jnp.float32),
         o=o, d=d, inv=inv_d, tlo=t_lo,
     )
@@ -362,7 +366,7 @@ def intersect_mesh(bvh: MeshBVH, o, d, tmin, tmax) -> Hit:
         idx = order[:M]
         sub = {k: v[idx] for k, v in st.items()}
         sub = compact_run(sub, widths[1:])
-        for k in ("node", "t", "tri", "u", "v"):
+        for k in ("node", "t", "wn", "wm", "u", "v"):
             st[k] = st[k].at[idx].set(sub[k])
         return st
 
@@ -370,10 +374,9 @@ def intersect_mesh(bvh: MeshBVH, o, d, tmin, tmax) -> Hit:
     st = compact_run(st, widths if P >= 4096 else [])
 
     hit = st["t"] < t_hi0
-    wrow = packed_tris[st["tri"]]        # one winner-row gather
-    nrm = wrow[:, 9:12]
+    nrm = st["wn"]
     flip = jnp.sum(nrm * d, axis=-1) >= 0.0
     nrm = jnp.where(flip[:, None], -nrm, nrm)
     return Hit(t=jnp.where(hit, st["t"], INF), n=nrm,
-               u=st["u"], v=st["v"], mat=wrow[:, 12].astype(jnp.int32),
+               u=st["u"], v=st["v"], mat=st["wm"].astype(jnp.int32),
                hit=hit)
