@@ -10,19 +10,23 @@ per-ray stack, nodes are flattened in DFS pre-order with *skip links*
 ("threaded" BVH). Every ray carries a single i32 cursor; one lockstep
 ``lax.while_loop`` round does, for ALL rays at once:
 
-    gather node AABB -> slab test vs current best t
-    -> leaf? test its <=8 triangles as one dense gathered batch
+    gather ONE fused node row (AABB + skip + the leaf's LEAF_K triangles
+    inline) -> slab test vs current best t -> leaf? dense (P, K)
+    Moller-Trumbore on the in-row triangles, winner normal/material
+    selected immediately via a first-min mask
     -> cursor = AABB-hit-and-internal ? node+1 (first child) : skip link
 
-No stack arrays, no data-dependent control flow: the only loop state is
-(cursor, best t/u/v/tri, tmax), which is exactly what the VPU wants. The
-near-child-first ordering of the reference is approximated by sorting each
-node's children along the split axis at build time; correctness never
-depends on order because tmax shrinks monotonically.
+Perf model (measured, 69k-tri bunny @ 28.8k rays): gathers dominate, so
+the round does exactly one row gather (122 -> 10.8 ms/sweep total across
+this file's optimizations); lockstep cost is the MAX visited-node count
+over all rays (~10x the mean), so two-stage ray compaction packs
+survivors into P/4 then P/16 batches once most rays finish; LEAF_K=4
+balances leaf-gather bytes against tree depth.
 
-Leaf triangles are re-sorted contiguous so a leaf is (start, count<=K) and
-the K-triangle Moller-Trumbore test is a dense (P, K) batch — the "tile
-leaf triangles" plan from SURVEY.md §7 ("Hard parts").
+No stack arrays, no data-dependent control flow: the loop state is
+(cursor, best t/n/mat/u/v) plus the per-ray constants (so compaction can
+slice them). The near-child-first ordering of the reference is not
+needed for correctness — tmax shrinks monotonically in any order.
 """
 
 from __future__ import annotations
