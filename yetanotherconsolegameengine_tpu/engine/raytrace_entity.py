@@ -28,9 +28,10 @@ def default_scene_order() -> List[str]:
     """The 16-entry scene table (RaytraceEntity.BuildSceneTable,
     RaytraceEntity.cs:319-344)."""
     order = ["test", "cornell", "mirror_spheres", "primitives", "boxes",
-             "demo_random", "texture_test", "glass", "bunny", "teapot",
-             "cow", "dragon", "glass_gem", "all_meshes", "voxel_test",
-             "voxel_cave", "minecraft_like"]
+             "demo_random", "texture_test", "glass", "museum",
+             "exhibit_ring", "bunny", "teapot", "cow", "dragon",
+             "glass_gem", "all_meshes", "voxel_test", "voxel_cave",
+             "minecraft_like"]
     return [n for n in order if n in SCENE_BUILDERS or n == "minecraft_like"]
 
 
