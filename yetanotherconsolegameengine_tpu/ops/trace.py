@@ -92,9 +92,12 @@ def transmittance_to_lights(scene, so, sd, max_dist, need, cfg: RenderConfig):
     worlds (RaytraceRenderer.ComputeTransmittanceToLight, :757-798).
 
     so/sd: (R, 3) shadow rays; max_dist: (R,); ``need`` marks lanes whose
-    result is semantically used (for the ray-count telemetry only).
+    result is semantically used.
     Returns ((R, 3) transmittance, traced-ray count).
     """
+    # Un-needed lanes get far-away origins so the BVH/DDA inner compaction
+    # drops them immediately (see trace body).
+    so = jnp.where(need[:, None], so, jnp.float32(2.9e30))
     if scene.binary_shadows:
         def occluded(_):
             h = intersect_scene(scene, so, sd, 1e-3, max_dist)
@@ -192,7 +195,14 @@ def trace_all(scene, o0, d0, rng0, cfg: RenderConfig) -> TraceResult:
         active = st["active"]
         st["rays"] = st["rays"] + jnp.sum(active.astype(jnp.int32))
 
-        hit = intersect_scene(scene, o, d, 1e-3, INF)
+        # Degenerate inactive lanes' rays to a far-away origin: the mesh
+        # traversal and voxel DDA kill such rays in one round and their
+        # internal ray compaction then shrinks the batch — without this,
+        # finished wavefront lanes RE-MARCH the whole BVH/grid every outer
+        # round (the dominant cost on mesh/voxel scenes once most paths
+        # have terminated).
+        o_q = jnp.where(active[:, None], o, jnp.float32(2.9e30))
+        hit = intersect_scene(scene, o_q, d, 1e-3, INF)
         m = gather_material(scene.materials, hit.mat)
         p = o + hit.t[:, None] * d
         uv = jnp.stack([hit.u, hit.v], axis=-1)
