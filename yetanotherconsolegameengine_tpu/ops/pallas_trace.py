@@ -662,6 +662,9 @@ def build_kernel(hs: _HostScene, cfg: RenderConfig, n_pixels: int):
             return acc_r, acc_g, acc_b
 
         # ---- wavefront state -------------------------------------------
+        # Scenes with no transparent material never push/pop the path
+        # stack; compiling it out removes ~5 MB of VMEM selects per round.
+        HAS_TR = scene_has_transparency(hs)
         S = min(cfg.path_stack_size, KERNEL_STACK)
         st = dict(
             ox=ox0, oy=oy0, oz=oz0, dx=dx0, dy=dy0, dz=dz0,
@@ -672,8 +675,9 @@ def build_kernel(hs: _HostScene, cfg: RenderConfig, n_pixels: int):
             # live as f32 0/1 and are re-derived as bools in the body.
             is_primary=jnp.ones(shape, jnp.float32),
             active=jnp.ones(shape, jnp.float32),
-            sp=jnp.zeros(shape, jnp.int32),
-            stack=jnp.zeros((S, 11, TILE_R, LANES), jnp.float32),
+            **({"sp": jnp.zeros(shape, jnp.int32),
+                "stack": jnp.zeros((S, 11, TILE_R, LANES), jnp.float32)}
+               if HAS_TR else {}),
             rad_r=f0, rad_g=f0, rad_b=f0,
             primary_hit=jnp.zeros(shape, jnp.float32),
             sky=jnp.zeros(shape, jnp.float32),
@@ -742,71 +746,75 @@ def build_kernel(hs: _HostScene, cfg: RenderConfig, n_pixels: int):
             m_refl = _mat_field(hs, mat_f, lambda r: r[2])
             m_ior = _mat_field(hs, mat_f, lambda r: r[5])
 
-            transparent = hit_now & (m_tr > 0.0)
+            if HAS_TR:
+                transparent = hit_now & (m_tr > 0.0)
+            else:
+                transparent = hit_now & ~hit_now   # static false
             can_bounce = st["mirror"] < cfg.max_mirror_bounces
             mirror = hit_now & ~transparent & (m_refl >= cfg.mirror_threshold)
             diffuse = hit_now & ~transparent & ~mirror
 
             # -- transparent: Fresnel push reflect + refract ---------------
             tr_act = transparent & can_bounce
-            cos_in = nx * dx + ny * dy + nz * dz
-            front = cos_in < 0.0
-            nlx = jnp.where(front, nx, -nx)
-            nly = jnp.where(front, ny, -ny)
-            nlz = jnp.where(front, nz, -nz)
-            eta_i = jnp.where(front, 1.0, m_ior)
-            eta_t = jnp.where(front, m_ior, 1.0)
-            eta = eta_i / eta_t
-            dn = dx * nlx + dy * nly + dz * nlz
-            rfx = dx - 2.0 * dn * nlx
-            rfy = dy - 2.0 * dn * nly
-            rfz = dz - 2.0 * dn * nlz
-            rfx, rfy, rfz = _normalize3(rfx, rfy, rfz)
-            cosi = jnp.clip(-dn, -1.0, 1.0)
-            kk = 1.0 - eta * eta * (1.0 - cosi * cosi)
-            has_refr = kk >= 0.0
-            rt = eta * cosi - jnp.sqrt(jnp.maximum(kk, 0.0))
-            tx = dx * eta + nlx * rt
-            ty = dy * eta + nly * rt
-            tz = dz * eta + nlz * rt
-            tx, ty, tz = _normalize3(tx, ty, tz)
-            r0 = ((eta_i - eta_t) / (eta_i + eta_t)) ** 2
-            fres = r0 + (1.0 - r0) * (1.0 - jnp.abs(dn)) ** 5
-            tr_amt = jnp.clip(m_tr, 0.0, 1.0)
-            t_w = jnp.where(has_refr, (1.0 - fres) * tr_amt, 0.0)
-            r_w = jnp.clip(fres + m_refl * (1.0 - fres), 0.0, 1.0)
-            tm_r = _mat_field(hs, mat_f, lambda r: r[6][0])
-            tm_g = _mat_field(hs, mat_f, lambda r: r[6][1])
-            tm_b = _mat_field(hs, mat_f, lambda r: r[6][2])
+            if HAS_TR:
+                cos_in = nx * dx + ny * dy + nz * dz
+                front = cos_in < 0.0
+                nlx = jnp.where(front, nx, -nx)
+                nly = jnp.where(front, ny, -ny)
+                nlz = jnp.where(front, nz, -nz)
+                eta_i = jnp.where(front, 1.0, m_ior)
+                eta_t = jnp.where(front, m_ior, 1.0)
+                eta = eta_i / eta_t
+                dn = dx * nlx + dy * nly + dz * nlz
+                rfx = dx - 2.0 * dn * nlx
+                rfy = dy - 2.0 * dn * nly
+                rfz = dz - 2.0 * dn * nlz
+                rfx, rfy, rfz = _normalize3(rfx, rfy, rfz)
+                cosi = jnp.clip(-dn, -1.0, 1.0)
+                kk = 1.0 - eta * eta * (1.0 - cosi * cosi)
+                has_refr = kk >= 0.0
+                rt = eta * cosi - jnp.sqrt(jnp.maximum(kk, 0.0))
+                tx = dx * eta + nlx * rt
+                ty = dy * eta + nly * rt
+                tz = dz * eta + nlz * rt
+                tx, ty, tz = _normalize3(tx, ty, tz)
+                r0 = ((eta_i - eta_t) / (eta_i + eta_t)) ** 2
+                fres = r0 + (1.0 - r0) * (1.0 - jnp.abs(dn)) ** 5
+                tr_amt = jnp.clip(m_tr, 0.0, 1.0)
+                t_w = jnp.where(has_refr, (1.0 - fres) * tr_amt, 0.0)
+                r_w = jnp.clip(fres + m_refl * (1.0 - fres), 0.0, 1.0)
+                tm_r = _mat_field(hs, mat_f, lambda r: r[6][0])
+                tm_g = _mat_field(hs, mat_f, lambda r: r[6][1])
+                tm_b = _mat_field(hs, mat_f, lambda r: r[6][2])
 
-            slot_iota = jax.lax.broadcasted_iota(
-                jnp.int32, (S, 1, TILE_R, LANES), 0)
+                slot_iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (S, 1, TILE_R, LANES), 0)
 
-            def push(stk, sp, mask, vals):
-                """vals: tuple of 11 (TILE_R, LANES) arrays; one fused
-                select over the slot axis."""
-                sp_ok = mask & (sp < S)
-                vstack = jnp.stack(vals)        # (11, R, L)
-                sel = (slot_iota == sp[None, None]) & sp_ok[None, None]
-                newstk = jnp.where(sel, vstack[None], stk)
-                return newstk, sp + sp_ok.astype(jnp.int32)
+                def push(stk, sp, mask, vals):
+                    """vals: tuple of 11 (TILE_R, LANES) arrays; one fused
+                    select over the slot axis."""
+                    sp_ok = mask & (sp < S)
+                    vstack = jnp.stack(vals)        # (11, R, L)
+                    sel = (slot_iota == sp[None, None]) & sp_ok[None, None]
+                    newstk = jnp.where(sel, vstack[None], stk)
+                    return newstk, sp + sp_ok.astype(jnp.int32)
 
-            sp = st["sp"]
-            stk = st["stack"]
-            stk, sp = push(stk, sp, tr_act & (r_w > 0.0), (
-                px + nlx * _EPS, py + nly * _EPS, pz + nlz * _EPS,
-                rfx, rfy, rfz,
-                st["br"] * alb_r * r_w, st["bg"] * alb_g * r_w,
-                st["bb"] * alb_b * r_w,
-                st["mirror"] + 1.0, st["diffuse"]))
-            stk, sp = push(stk, sp, tr_act & (t_w > 0.0), (
-                px - nlx * _EPS, py - nly * _EPS, pz - nlz * _EPS,
-                tx, ty, tz,
-                st["br"] * tm_r * t_w, st["bg"] * tm_g * t_w,
-                st["bb"] * tm_b * t_w,
-                st["mirror"] + 1.0, st["diffuse"]))
-            st["stack"] = stk
-            st["sp"] = sp
+                sp = st["sp"]
+                stk = st["stack"]
+                stk, sp = push(stk, sp, tr_act & (r_w > 0.0), (
+                    px + nlx * _EPS, py + nly * _EPS, pz + nlz * _EPS,
+                    rfx, rfy, rfz,
+                    st["br"] * alb_r * r_w, st["bg"] * alb_g * r_w,
+                    st["bb"] * alb_b * r_w,
+                    st["mirror"] + 1.0, st["diffuse"]))
+                stk, sp = push(stk, sp, tr_act & (t_w > 0.0), (
+                    px - nlx * _EPS, py - nly * _EPS, pz - nlz * _EPS,
+                    tx, ty, tz,
+                    st["br"] * tm_r * t_w, st["bg"] * tm_g * t_w,
+                    st["bb"] * tm_b * t_w,
+                    st["mirror"] + 1.0, st["diffuse"]))
+                st["stack"] = stk
+                st["sp"] = sp
 
             # -- diffuse: ambient + lights + one cosine bounce -------------
             amb = hs.ambient[1]
@@ -907,17 +915,21 @@ def build_kernel(hs: _HostScene, cfg: RenderConfig, n_pixels: int):
             st["diffuse"] = st["diffuse"] + want_bounce.astype(jnp.float32)
 
             # -- pop -------------------------------------------------------
-            ended = active & ~cont
-            can_pop = ended & (st["sp"] > 0)
-            idx = jnp.maximum(st["sp"] - 1, 0)
-            pop_sel = (slot_iota == idx[None, None]).astype(jnp.float32)
-            popped = jnp.sum(st["stack"] * pop_sel, axis=0)  # (11, R, L)
-            names = ("ox", "oy", "oz", "dx", "dy", "dz", "br", "bg", "bb",
-                     "mirror", "diffuse")
-            for i, nm in enumerate(names):
-                st[nm] = jnp.where(can_pop, popped[i], st[nm])
-            st["sp"] = st["sp"] - can_pop.astype(jnp.int32)
-            st["active"] = (active & (cont | can_pop)).astype(jnp.float32)
+            if HAS_TR:
+                ended = active & ~cont
+                can_pop = ended & (st["sp"] > 0)
+                idx = jnp.maximum(st["sp"] - 1, 0)
+                pop_sel = (slot_iota == idx[None, None]).astype(jnp.float32)
+                popped = jnp.sum(st["stack"] * pop_sel, axis=0)  # (11,R,L)
+                names = ("ox", "oy", "oz", "dx", "dy", "dz", "br", "bg",
+                         "bb", "mirror", "diffuse")
+                for i, nm in enumerate(names):
+                    st[nm] = jnp.where(can_pop, popped[i], st[nm])
+                st["sp"] = st["sp"] - can_pop.astype(jnp.int32)
+                st["active"] = (active & (cont | can_pop)) \
+                    .astype(jnp.float32)
+            else:
+                st["active"] = (active & cont).astype(jnp.float32)
             st["rnd"] = st["rnd"] + 1
             return st
 
