@@ -48,7 +48,8 @@ INF = 3.0e38
 _EPS = 1e-4
 
 # Unroll budget: primitives x (bounce rounds) must stay compile-friendly.
-MAX_UNROLL = 96
+# 160 admits the 100-random-spheres demo scene (~30 s Mosaic compile).
+MAX_UNROLL = 160
 
 
 def scene_fits(scene: SceneData) -> bool:
@@ -61,7 +62,7 @@ def scene_fits(scene: SceneData) -> bool:
          + scene.rects.mask.shape[0] + scene.cylinders.mask.shape[0]
          + scene.disks.mask.shape[0] + scene.planes.mask.shape[0]
          + scene.triangles.mask.shape[0])
-    return n <= MAX_UNROLL and scene.materials.albedo.shape[0] <= 32 \
+    return n <= MAX_UNROLL and scene.materials.albedo.shape[0] <= MAX_UNROLL \
         and scene.lights.mask.shape[0] <= 8
 
 
