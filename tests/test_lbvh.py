@@ -83,3 +83,22 @@ def test_lbvh_nonpow2_padding(rng):
         h = intersect_mesh(lbv, o, d, np.float32(1e-3), np.float32(1e9))
         t = np.asarray(h.t)
         assert np.isfinite(t[np.asarray(h.hit)]).all()
+
+
+def test_lbvh_straddling_leaf_normals_finite():
+    # Regression: a winner in a leaf that mixes valid and padded triangles
+    # (T % LEAF_K != 0) must return a finite unit normal. Padding vertices
+    # with inf made the masked-sum attribute extraction produce 0*inf=NaN.
+    n = 5  # pads to 8 -> second leaf holds 1 valid + 3 padded tris
+    a = np.array([[i * 10.0, 0.0, 0.0] for i in range(n)], np.float32)
+    b = a + np.array([1.0, 0.0, 0.0], np.float32)
+    c = a + np.array([0.0, 1.0, 0.0], np.float32)
+    lbv = build_lbvh(a, b, c, np.zeros(n, np.int32))
+    # One ray straight down at each triangle's interior.
+    o = jnp.asarray(a + np.array([0.25, 0.25, 3.0], np.float32))
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32), (n, 1))
+    h = intersect_mesh(lbv, o, d, np.float32(1e-3), np.float32(1e9))
+    assert np.asarray(h.hit).all()
+    nrm = np.asarray(h.n)
+    assert np.isfinite(nrm).all()
+    np.testing.assert_allclose(np.linalg.norm(nrm, axis=1), 1.0, atol=1e-5)

@@ -47,17 +47,33 @@ def test_taa_accumulates_when_camera_still():
 
 
 def test_taa_resets_on_camera_motion():
-    scene, step, state = make("cornell")
+    # A camera move must fully reset the history to the current frame,
+    # i.e. the post-move history is INDEPENDENT of what was accumulated
+    # before. Accumulate two different histories (camera A vs camera B),
+    # then render the same moved pose from both: with a real reset the
+    # resulting histories are identical; with a mere EMA blend they keep
+    # ~99% of their (different) pasts and diverge.
+    scene, step, state_a = make("cornell")
     cam = scene.default_pose
+    state_b = R.init_state(FB_W, FB_H, 1)
+    cam_b = CameraPose.create(
+        (np.asarray(cam.pos) + np.asarray([0.0, 0.3, 0.0])), cam.yaw,
+        cam.pitch, cam.fov_deg)
     for _ in range(3):
-        out, state = step(scene, cam, state)
+        _, state_a = step(scene, cam, state_a)
+        _, state_b = step(scene, cam_b, state_b)
+    h_a = np.asarray(state_a.history)
+    assert not np.allclose(h_a, np.asarray(state_b.history))
     moved = CameraPose.create(
         (np.asarray(cam.pos) + np.asarray([0.5, 0, 0])), cam.yaw, cam.pitch,
         cam.fov_deg)
-    out_m, state_m = step(scene, moved, state)
-    # After a move, the blend must be a full reset: history == current frame,
-    # which differs substantially from the old accumulated history.
-    assert float(jnp.abs(state_m.last_cam[0] - moved.pos[0])) < 1e-6
+    _, state_ma = step(scene, moved, state_a)
+    _, state_mb = step(scene, moved, state_b)
+    np.testing.assert_allclose(np.asarray(state_ma.history),
+                               np.asarray(state_mb.history), atol=1e-6)
+    # And the reset actually replaced the old accumulation.
+    assert not np.allclose(np.asarray(state_ma.history), h_a)
+    assert float(jnp.abs(state_ma.last_cam[0] - moved.pos[0])) < 1e-6
 
 
 def test_all_registered_scenes_render():

@@ -40,6 +40,30 @@ def test_bad_magic_rejected():
         read_snapshot(io.BytesIO(b"NOPE" + b"\0" * 64))
 
 
+def test_hostile_dims_rejected():
+    # A peer must not be able to drive a huge allocation (or a negative
+    # reshape) via the table header: tamper with the first table's dims.
+    import struct
+
+    scene = build_cornell_box()
+    data = bytearray(write_snapshot(scene))
+    # Layout: magic(4) version(4) then the first table header:
+    # name_len u16 | name | code u8 | ndim u8 | dims i32[ndim].
+    off = 8
+    (nlen,) = struct.unpack_from("<H", data, off)
+    dims_off = off + 2 + nlen + 2
+    for bad in (2**30, -7):
+        tampered = bytearray(data)
+        struct.pack_into("<i", tampered, dims_off, bad)
+        with pytest.raises(ValueError):
+            read_snapshot(io.BytesIO(bytes(tampered)))
+    # Unknown dtype code is rejected too.
+    tampered = bytearray(data)
+    tampered[off + 2 + nlen] = 250
+    with pytest.raises(ValueError):
+        read_snapshot(io.BytesIO(bytes(tampered)))
+
+
 def test_server_client_over_tcp():
     scene = build_cornell_box()
     server = SceneSyncServer(lambda: scene)

@@ -221,10 +221,10 @@ class RaytraceComponent(BaseComponent):
         # device->host sync of the previous frame overlaps this frame's
         # compute. JAX dispatch is async, so render() returns immediately.
         out = r.render()
-        if self._pending is not None:
-            p = self._pending
-            self.fb.blit_half_blocks(p.top_rgb, p.bot_rgb, p.fg_ansi,
-                                     p.bg_ansi)
+        blitted = self._pending
+        if blitted is not None:
+            self.fb.blit_half_blocks(blitted.top_rgb, blitted.bot_rgb,
+                                     blitted.fg_ansi, blitted.bg_ansi)
         self._pending = out
         frame_ms = (time.perf_counter() - t0) * 1000.0
         self._frame_times.append(frame_ms)
@@ -232,7 +232,12 @@ class RaytraceComponent(BaseComponent):
             self._frame_times.pop(0)
 
         if self.show_hud:
-            self.info = self._info_string(out, frame_ms)
+            # HUD reads ray stats from the frame blitted THIS tick (already
+            # materialized), never from the in-flight frame — int() on the
+            # just-dispatched output would force a device sync and defeat
+            # the one-frame-in-flight pipeline.
+            self.info = self._info_string(
+                blitted if blitted is not None else out, frame_ms)
             self.fb.write_text(0, 0, self.info[: self.fb.width])
 
     def _info_string(self, out, frame_ms: float) -> str:

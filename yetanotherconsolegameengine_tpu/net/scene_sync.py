@@ -68,13 +68,32 @@ def _read_exact(f, n: int) -> bytes:
     return out
 
 
+# Per-table payload cap: largest legitimate tables are a few MB of SoA
+# floats; anything bigger means a corrupt or hostile stream, and we must
+# not let peer-supplied dims drive a multi-GB allocation.
+MAX_TABLE_BYTES = 64 * 1024 * 1024
+
+
 def _read_array(f) -> tuple:
     (nlen,) = struct.unpack("<H", _read_exact(f, 2))
     name = _read_exact(f, nlen).decode()
     code, ndim = struct.unpack("<BB", _read_exact(f, 2))
+    if code not in _DTYPES:
+        raise ValueError(f"snapshot table {name!r}: unknown dtype code {code}")
+    if ndim > 4:
+        raise ValueError(f"snapshot table {name!r}: ndim {ndim} > 4")
     dims = struct.unpack(f"<{ndim}i", _read_exact(f, 4 * ndim))
+    if any(d < 0 for d in dims):
+        raise ValueError(f"snapshot table {name!r}: negative dim {dims}")
     dtype = np.dtype(_DTYPES[code])
-    n_bytes = int(np.prod(dims)) * dtype.itemsize if ndim else dtype.itemsize
+    n_elems = 1
+    for d in dims:
+        n_elems *= d
+    n_bytes = n_elems * dtype.itemsize
+    if n_bytes > MAX_TABLE_BYTES:
+        raise ValueError(
+            f"snapshot table {name!r}: {n_bytes} bytes exceeds the "
+            f"{MAX_TABLE_BYTES}-byte cap")
     arr = np.frombuffer(_read_exact(f, n_bytes), dtype).reshape(dims)
     return name, arr
 

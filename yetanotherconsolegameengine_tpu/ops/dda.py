@@ -36,7 +36,10 @@ from .intersect import INF, Hit, _safe_div
 BRICK = 8  # VolumeGrid.cs bricks are 8^3 (Morton-ordered within brick)
 
 
-MAX_DIST = 15  # Chebyshev distance cap (bricks)
+# Chebyshev distance cap in CELLS (the field moved from brick to cell
+# resolution): empty-space jumps reach MAX_DIST-1 cells. Each unit costs one
+# min-filter iteration in cell_distance_field (run only on chunk change).
+MAX_DIST = 31
 
 
 @jax.tree_util.register_dataclass

@@ -125,11 +125,14 @@ def build_lbvh(a, b, c, mat) -> MeshBVH:
     b_s = b[orderp]
     c_s = c[orderp]
     m_s = jnp.where(valid, mat[orderp], 0)
-    # Degenerate the padded triangles so they never hit.
-    inf3 = jnp.full((1, 3), jnp.inf, jnp.float32)
-    a_s = jnp.where(valid[:, None], a_s, inf3)
-    b_s = jnp.where(valid[:, None], b_s, inf3)
-    c_s = jnp.where(valid[:, None], c_s, inf3)
+    # Degenerate the padded triangles so they never hit. Zero vertices (not
+    # inf): det=0 fails the validity test, and e1/e2/normals stay finite —
+    # inf padding made 0*inf=NaN leak through intersect_mesh's masked-sum
+    # attribute extraction whenever a straddling leaf held the winner.
+    zero3 = jnp.zeros((1, 3), jnp.float32)
+    a_s = jnp.where(valid[:, None], a_s, zero3)
+    b_s = jnp.where(valid[:, None], b_s, zero3)
+    c_s = jnp.where(valid[:, None], c_s, zero3)
 
     tmin_s = jnp.minimum(jnp.minimum(a_s, b_s), c_s)
     tmax_s = jnp.maximum(jnp.maximum(a_s, b_s), c_s)
