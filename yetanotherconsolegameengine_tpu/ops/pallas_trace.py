@@ -39,11 +39,24 @@ from ..scene.tables import SceneData
 LANES = 128
 TILE_R = 32            # rows per tile -> (32, 128) = 4096 pixels/program
 # Kernel-side path stack depth. The reference's 16 slots are generous
-# (RaytraceRenderer.cs:450); pushes are <=2 per refraction event with
-# mirror depth <=2, so 8 never overflows in practice and halves the
-# VMEM-resident stack + push/pop select cost. Overflowing pushes drop,
-# exactly like the reference when its stack fills.
+# (RaytraceRenderer.cs:450): a refraction event pushes reflect+refract and
+# then pops one, a net +1 per nesting level, and nesting is capped by
+# max_mirror_bounces — so the worst-case stack depth is
+# max_mirror_bounces + 1 (= 3 at the default caps). 8 slots halve the
+# VMEM-resident stack + push/pop select cost vs 16 with zero semantic
+# loss; configs whose worst case exceeds this fall back to the XLA path
+# (see kernel_stack_sufficient / renderer._host_scene) instead of
+# silently truncating.
 KERNEL_STACK = 8
+
+
+def kernel_stack_sufficient(hs: "_HostScene", cfg: RenderConfig) -> bool:
+    """True when the megakernel's stack provably cannot overflow for this
+    scene + config (opaque scenes never push at all)."""
+    if not scene_has_transparency(hs):
+        return True
+    return cfg.max_mirror_bounces + 1 <= min(KERNEL_STACK,
+                                             cfg.path_stack_size)
 INF = 3.0e38
 _EPS = 1e-4
 
@@ -551,8 +564,13 @@ def _splitmix(hi, lo):
     return nhi, nlo, unit
 
 
-def build_kernel(hs: _HostScene, cfg: RenderConfig, n_pixels: int):
-    """Build the pallas_call for a fixed scene snapshot + pixel count."""
+def build_kernel(hs: _HostScene, cfg: RenderConfig, n_pixels: int,
+                 interpret: bool = False):
+    """Build the pallas_call for a fixed scene snapshot + pixel count.
+
+    ``interpret=True`` runs the kernel through the Pallas interpreter (CPU)
+    — used by the CI equivalence tests that pin this kernel to the XLA
+    wavefront (ops/trace.py) without TPU hardware."""
     sigma = cfg.diffuse_sigma_deg * math.pi / 180.0
     s2 = sigma * sigma
     on_a = 1.0 - s2 / (2.0 * (s2 + 0.33))
@@ -566,7 +584,7 @@ def build_kernel(hs: _HostScene, cfg: RenderConfig, n_pixels: int):
                rhi_ref, rlo_ref,
                rad_r_ref, rad_g_ref, rad_b_ref, sky_ref,
                alb_r_ref, alb_g_ref, alb_b_ref,
-               nx_ref, ny_ref, nz_ref, depth_ref):
+               nx_ref, ny_ref, nz_ref, depth_ref, nray_ref):
         shape = (TILE_R, LANES)
         ox0 = ox_ref[:]
         oy0 = oy_ref[:]
@@ -582,10 +600,15 @@ def build_kernel(hs: _HostScene, cfg: RenderConfig, n_pixels: int):
         def shade_lights(px, py, pz, nx, ny, nz, wox, woy, woz,
                          alb_r, alb_g, alb_b, active):
             """Oren-Nayar direct lighting with shadow occlusion
-            (RaytraceRenderer.cs:810-831, :757-798)."""
+            (RaytraceRenderer.cs:810-831, :757-798).
+
+            Returns (r, g, b, shadow_ray_count): the count matches
+            ops/trace.py's transmittance_to_lights accounting lane for
+            lane, so both paths report identical rays_traced."""
             acc_r = f0
             acc_g = f0
             acc_b = f0
+            n_shadow = f0
             cos_o = jnp.maximum(0.0, nx * wox + ny * woy + nz * woz)
             sin_o = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_o * cos_o))
             pox = wox - nx * cos_o
@@ -619,23 +642,31 @@ def build_kernel(hs: _HostScene, cfg: RenderConfig, n_pixels: int):
                     tr_r = jnp.where(occ, 0.0, tr_r)
                     tr_g = jnp.where(occ, 0.0, tr_g)
                     tr_b = jnp.where(occ, 0.0, tr_b)
+                    n_shadow += need.astype(jnp.float32)
                 else:
+                    # ``done`` mirrors trace.py's per-lane termination so
+                    # the shadow-ray counts line up exactly.
+                    done = ~need
                     for _ in range(cfg.max_refractions):
+                        n_shadow += (need & ~done).astype(jnp.float32)
                         st, _, _, _, _, _, smat, shit = _intersect_all(
                             hs, sox, soy, soz, lx, ly, lz, smin,
                             dist - _EPS)
                         m_tr = _mat_field(hs, smat, lambda r: r[4])
-                        opaque = shit & (m_tr <= 0.0)
+                        opaque = shit & (m_tr <= 0.0) & ~done
                         tr_r = jnp.where(opaque, 0.0, tr_r)
                         tr_g = jnp.where(opaque, 0.0, tr_g)
                         tr_b = jnp.where(opaque, 0.0, tr_b)
-                        through = shit & (m_tr > 0.0)
+                        through = shit & (m_tr > 0.0) & ~done
                         tm_r = _mat_field(hs, smat, lambda r: r[6][0])
                         tm_g = _mat_field(hs, smat, lambda r: r[6][1])
                         tm_b = _mat_field(hs, smat, lambda r: r[6][2])
                         tr_r = jnp.where(through, tr_r * tm_r * m_tr, tr_r)
                         tr_g = jnp.where(through, tr_g * tm_g * m_tr, tr_g)
                         tr_b = jnp.where(through, tr_b * tm_b * m_tr, tr_b)
+                        faded = ((tr_r <= 1e-6) & (tr_g <= 1e-6)
+                                 & (tr_b <= 1e-6))
+                        done = done | ~shit | opaque | faded
                         smin = jnp.where(shit, st + _EPS, smin)
                 # Oren-Nayar term.
                 cos_i = ndotl
@@ -660,7 +691,7 @@ def build_kernel(hs: _HostScene, cfg: RenderConfig, n_pixels: int):
                     * lc[1] * tr_g
                 acc_b += jnp.clip(alb_b * f_on, 0.0, 1.0) * atten \
                     * lc[2] * tr_b
-            return acc_r, acc_g, acc_b
+            return acc_r, acc_g, acc_b, n_shadow
 
         # ---- wavefront state -------------------------------------------
         # Scenes with no transparent material never push/pop the path
@@ -687,6 +718,7 @@ def build_kernel(hs: _HostScene, cfg: RenderConfig, n_pixels: int):
             g_d=jnp.full(shape, INF, jnp.float32),
             g_valid=jnp.zeros(shape, jnp.float32),
             rhi=rhi, rlo=rlo,
+            nray=f0,
             rnd=jnp.int32(0),
         )
 
@@ -694,6 +726,8 @@ def build_kernel(hs: _HostScene, cfg: RenderConfig, n_pixels: int):
             ox, oy, oz = st["ox"], st["oy"], st["oz"]
             dx, dy, dz = st["dx"], st["dy"], st["dz"]
             active = st["active"] > 0.5
+            # Honest per-lane ray accounting, mirroring trace.py:196.
+            st["nray"] += st["active"]
             is_primary_b = st["is_primary"] > 0.5
             primary_hit_b = st["primary_hit"] > 0.5
             g_valid_b = st["g_valid"] > 0.5
@@ -829,12 +863,13 @@ def build_kernel(hs: _HostScene, cfg: RenderConfig, n_pixels: int):
                                      st["bb"] * hs.ambient[0][2] * amb
                                      * alb_b, 0.0)
             if hs.lights:
-                lr, lg, lb = shade_lights(px, py, pz, nx, ny, nz,
-                                          -dx, -dy, -dz,
-                                          alb_r, alb_g, alb_b, diffuse)
+                lr, lg, lb, n_sh = shade_lights(px, py, pz, nx, ny, nz,
+                                                -dx, -dy, -dz,
+                                                alb_r, alb_g, alb_b, diffuse)
                 st["rad_r"] += st["br"] * lr
                 st["rad_g"] += st["bg"] * lg
                 st["rad_b"] += st["bb"] * lb
+                st["nray"] += n_sh
 
             # Cosine hemisphere bounce (RaytraceSampler.cs:63-111).
             want_bounce = diffuse & (st["diffuse"]
@@ -951,35 +986,39 @@ def build_kernel(hs: _HostScene, cfg: RenderConfig, n_pixels: int):
         ny_ref[:] = st["g_ny"]
         nz_ref[:] = st["g_nz"]
         depth_ref[:] = st["g_d"]
+        nray_ref[:] = st["nray"]
 
     spec = pl.BlockSpec((TILE_R, LANES), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
     f32 = jnp.float32
     out_shape = [jax.ShapeDtypeStruct((rows_total, LANES), f32)
-                 for _ in range(11)]
+                 for _ in range(12)]
 
     return pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[spec] * 6 + [pl.BlockSpec((TILE_R, LANES), lambda i: (i, 0),
                                             memory_space=pltpu.VMEM)] * 2,
-        out_specs=[spec] * 11,
+        out_specs=[spec] * 12,
         out_shape=out_shape,
+        interpret=interpret,
     )
 
 
 @functools.lru_cache(maxsize=32)
-def _cached_kernel(hs: _HostScene, cfg: RenderConfig, n_pixels: int):
-    return build_kernel(hs, cfg, n_pixels)
+def _cached_kernel(hs: _HostScene, cfg: RenderConfig, n_pixels: int,
+                   interpret: bool = False):
+    return build_kernel(hs, cfg, n_pixels, interpret=interpret)
 
 
 def trace_all_pallas(scene: SceneData, hs: _HostScene, o, d, rng0,
-                     cfg: RenderConfig):
+                     cfg: RenderConfig, interpret: bool = False):
     """Drop-in replacement for ops.trace.trace_all on fitting scenes.
 
     o/d: (P, 3); rng0: (hi, lo) uint32 pairs (P,). Returns the same
-    TraceResult pytree (rays_traced is an estimate: the kernel does not
-    count per-lane rays; it reports primary+shadow lower bound)."""
+    TraceResult pytree. rays_traced is MEASURED in-kernel (per-lane active
+    + shadow counts, summed) with the same accounting as trace.py, so the
+    two paths report identical counts on the same scene."""
     from .trace import TraceResult
 
     P = o.shape[0]
@@ -992,8 +1031,8 @@ def trace_all_pallas(scene: SceneData, hs: _HostScene, o, d, rng0,
     args = [plane(o[:, 0]), plane(o[:, 1]), plane(o[:, 2]),
             plane(d[:, 0]), plane(d[:, 1]), plane(d[:, 2]),
             plane(rng0[0]), plane(rng0[1])]
-    call = _cached_kernel(hs, cfg, rows * LANES)
-    (rr, rg, rb, sky, ar, ag, ab, nx, ny, nz, dep) = call(*args)
+    call = _cached_kernel(hs, cfg, rows * LANES, interpret)
+    (rr, rg, rb, sky, ar, ag, ab, nx, ny, nz, dep, nray) = call(*args)
 
     def unplane(x):
         return x.reshape(-1)[:P]
@@ -1001,8 +1040,7 @@ def trace_all_pallas(scene: SceneData, hs: _HostScene, o, d, rng0,
     radiance = jnp.stack([unplane(rr), unplane(rg), unplane(rb)], axis=-1)
     albedo = jnp.stack([unplane(ar), unplane(ag), unplane(ab)], axis=-1)
     normal = jnp.stack([unplane(nx), unplane(ny), unplane(nz)], axis=-1)
-    n_lights = len(hs.lights)
-    rays = jnp.int32(P * (1 + cfg.diffuse_bounces + n_lights))
+    rays = jnp.sum(unplane(nray)).astype(jnp.int32)
     return TraceResult(radiance=radiance, is_sky=unplane(sky) > 0.5,
                        albedo=albedo, normal=normal, depth=unplane(dep),
                        rays_traced=rays)

@@ -244,7 +244,12 @@ class RaytraceRenderer:
                 return None
         except RuntimeError:
             return None
-        return pallas_trace.snapshot_scene(self.scene)
+        hs = pallas_trace.snapshot_scene(self.scene)
+        # Configs whose worst-case push depth exceeds the kernel stack
+        # would silently drop paths the XLA path keeps — fall back.
+        if not pallas_trace.kernel_stack_sufficient(hs, self.cfg):
+            return None
+        return hs
 
     def set_camera(self, pos, yaw, pitch):
         pos = list(pos)
