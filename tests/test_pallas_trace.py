@@ -34,23 +34,32 @@ def _rays(scene):
             (seed[0].reshape(-1), seed[1].reshape(-1)))
 
 
-def _compare(scene_name, atol=2e-5, cfg=DEFAULT_CONFIG):
+def _compare(scene_name, atol=1e-4, cfg=DEFAULT_CONFIG):
     scene = builders.SCENE_BUILDERS[scene_name]()
     assert scene_fits(scene), scene_name
     hs = snapshot_scene(scene)
     o, d, rng = _rays(scene)
     ref = trace.trace_all(scene, o, d, rng, cfg)
-    got = trace_all_pallas(scene, hs, o, d, rng, cfg, interpret=True)
+    # The megakernel generates its rays + seeds in-kernel from the same
+    # camera scalars; equivalence therefore also covers the in-kernel
+    # raygen against make_jittered_rays/per_frame_seed.
+    got = trace_all_pallas(scene, hs, scene.default_pose,
+                           jnp.asarray(3, jnp.int32), W, H, cfg,
+                           interpret=True)
     # Both paths must MEASURE the same ray count (VERDICT r1 weak #6).
     assert int(got.rays_traced) == int(ref.rays_traced), scene_name
 
     r_ref = np.asarray(ref.radiance)
     r_got = np.asarray(got.radiance)
     # Radiance spans several orders of magnitude near lights; compare with
-    # a mixed abs/rel tolerance.
-    denom = np.maximum(1.0, np.abs(r_ref))
-    np.testing.assert_array_less(np.abs(r_got - r_ref) / denom, atol,
+    # a mixed abs/rel tolerance. The in-kernel raygen can differ from the
+    # XLA raygen by 1 ulp of ray direction (FMA contraction), which shifts
+    # the odd silhouette pixel — hence a per-pixel tolerance plus a much
+    # tighter mean bound (any semantic drift moves the mean).
+    err = np.abs(r_got - r_ref) / np.maximum(1.0, np.abs(r_ref))
+    np.testing.assert_array_less(err, atol,
                                  err_msg=f"{scene_name}: radiance diverged")
+    assert err.mean() < 1e-6, f"{scene_name}: mean radiance error {err.mean()}"
     np.testing.assert_array_equal(np.asarray(got.is_sky),
                                   np.asarray(ref.is_sky))
     np.testing.assert_allclose(np.asarray(got.albedo),

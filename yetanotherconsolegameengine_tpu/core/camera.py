@@ -48,6 +48,38 @@ def _normalize(v, eps=1e-20):
     return v / jnp.sqrt(jnp.maximum(eps, jnp.sum(v * v, axis=-1, keepdims=True)))
 
 
+def ray_params(cam: CameraPose, width: int, height: int, frame_idx):
+    """Scalar ray-generation parameters as one (18,) f32 vector.
+
+    Shared by make_jittered_rays (XLA path) and the Pallas megakernel's
+    in-kernel ray generation, so both paths derive their per-pixel rays
+    from IDENTICAL basis/rotation scalars. Layout:
+
+    [0:3] pos  [3:6] fwd  [6:9] right  [9:12] up
+    [12] half_w  [13] half_h
+    [14] r2 rotation x  [15] r2 rotation y   (blue-noise per-frame rot)
+    [16] golden rotation x  [17] golden rotation y  (jitter rot)
+    """
+    aspect = width / float(height)
+    fidx = jnp.asarray(frame_idx, jnp.int32).astype(jnp.float32)
+    fov_rad = cam.fov_deg * jnp.float32(math.pi / 180.0)
+    half_h = jnp.tan(0.5 * fov_rad)
+    half_w = half_h * aspect
+    fwd = _normalize(forward_from_yaw_pitch(cam.yaw, cam.pitch))
+    world_up = jnp.asarray([0.0, 1.0, 0.0], jnp.float32)
+    right = _normalize(jnp.cross(fwd, world_up))
+    up = _normalize(jnp.cross(right, fwd))
+    rots = jnp.stack([
+        sampler.frac((fidx + 1.0) * jnp.float32(sampler.R2_X)),
+        sampler.frac((fidx + 1.0) * jnp.float32(sampler.R2_Y)),
+        sampler.frac((fidx + 1.0) * jnp.float32(sampler.GOLDEN_X)),
+        sampler.frac((fidx + 1.0) * jnp.float32(sampler.GOLDEN_Y)),
+    ])
+    return jnp.concatenate([
+        cam.pos, fwd, right, up,
+        jnp.stack([half_w, half_h]), rots]).astype(jnp.float32)
+
+
 def make_jittered_rays(cam: CameraPose, width: int, height: int, frame_idx):
     """Build the full (H, W) grid of jittered primary rays.
 
@@ -58,35 +90,28 @@ def make_jittered_rays(cam: CameraPose, width: int, height: int, frame_idx):
 
     Returns (origins, dirs), each (H, W, 3) float32. ``origins`` is the
     broadcast camera position.
+
+    Derives all scalars via ray_params so the Pallas megakernel's in-kernel
+    ray generation (ops/pallas_trace.py) and this path see identical values.
     """
-    aspect = width / float(height)
     px = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
     py = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
 
-    fidx = jnp.asarray(frame_idx, jnp.int32)
-    jitter_rot_x = sampler.frac((fidx.astype(jnp.float32) + 1.0) * sampler.GOLDEN_X)
-    jitter_rot_y = sampler.frac((fidx.astype(jnp.float32) + 1.0) * sampler.GOLDEN_Y)
-
-    jx = sampler.frac(sampler.blue_noise(px, py, fidx, 0) + jitter_rot_x) - 0.5
-    jy = sampler.frac(sampler.blue_noise(px, py, fidx, 1) + jitter_rot_y) - 0.5
+    p = ray_params(cam, width, height, frame_idx)
+    bn_x = sampler.frac(sampler.bayer_base(px, py) + p[14])
+    bn_y = sampler.frac(sampler.bayer_base(px, py) + p[15])
+    jx = sampler.frac(bn_x + p[16]) - 0.5
+    jy = sampler.frac(bn_y + p[17]) - 0.5
 
     u = ((px.astype(jnp.float32) + 0.5 + jx) / width) * 2.0 - 1.0
     v = 1.0 - ((py.astype(jnp.float32) + 0.5 + jy) / height) * 2.0
 
-    fov_rad = cam.fov_deg * jnp.float32(math.pi / 180.0)
-    half_h = jnp.tan(0.5 * fov_rad)
-    half_w = half_h * aspect
-
-    fwd = _normalize(forward_from_yaw_pitch(cam.yaw, cam.pitch))
-    world_up = jnp.asarray([0.0, 1.0, 0.0], jnp.float32)
-    right = _normalize(jnp.cross(fwd, world_up))
-    up = _normalize(jnp.cross(right, fwd))
-
+    pos, fwd, right, up = p[0:3], p[3:6], p[6:9], p[9:12]
     d = (
         fwd
-        + right * (u * half_w)[..., None]
-        + up * (v * half_h)[..., None]
+        + right * (u * p[12])[..., None]
+        + up * (v * p[13])[..., None]
     )
     d = _normalize(d)
-    o = jnp.broadcast_to(cam.pos, d.shape)
+    o = jnp.broadcast_to(pos, d.shape)
     return o, d

@@ -57,19 +57,31 @@ def frac(v):
     return v - jnp.floor(v)
 
 
+def bayer_base(px, py):
+    """The 8x8 ordered-dither base sample in [0,1) at integer pixel coords,
+    computed arithmetically (no table gather — the Bayer matrix value is
+    the bit-reversed interleave of (x^y, y), verified against _bayer(8)).
+    Gather-free so the Pallas megakernel can evaluate it per lane."""
+    x = px.astype(jnp.int32) & (BLUE_TILE - 1)
+    y = py.astype(jnp.int32) & (BLUE_TILE - 1)
+    xy = x ^ y
+    v = jnp.zeros_like(x)
+    k = 3  # log2(BLUE_TILE)
+    for i in range(k):
+        v = v + ((((xy >> i) & 1) << (2 * (k - 1 - i) + 1))
+                 + (((y >> i) & 1) << (2 * (k - 1 - i))))
+    return (v.astype(jnp.float32) + 0.5) * (1.0 / (BLUE_TILE * BLUE_TILE))
+
+
 def blue_noise(px, py, frame_idx, channel: int):
     """Ordered-dither sample in [0,1) for integer pixel coords.
 
-    Matches RaytraceSampler.BlueNoiseSample: tile lookup + per-frame R2
+    Matches RaytraceSampler.BlueNoiseSample: tile value + per-frame R2
     rotation, fract-wrapped.
     """
-    table = jnp.asarray(BAYER8, dtype=jnp.float32)
-    ix = (px & (BLUE_TILE - 1)).astype(jnp.int32)
-    iy = (py & (BLUE_TILE - 1)).astype(jnp.int32)
-    base = (table[iy, ix] + 0.5) * (1.0 / (BLUE_TILE * BLUE_TILE))
     c = R2_X if channel == 0 else R2_Y
     rot = frac((frame_idx.astype(jnp.float32) + 1.0) * c)
-    return frac(base + rot)
+    return frac(bayer_base(px, py) + rot)
 
 
 def per_frame_seed(px, py, frame_idx, salt: int):

@@ -31,6 +31,13 @@ def atrous_denoise(src, albedo, normal, depth, sky, cfg: RenderConfig):
     a0 = albedo
     z0 = depth
     cur = src
+    # One exp of a weighted sum == the product of four exps; shared form
+    # with the fused Pallas post kernel (ops/pallas_post.py) so the two
+    # post paths stay numerically aligned (and 4x fewer transcendentals).
+    inv_c = 1.0 / max(1e-6, cfg.atrous_c_phi)
+    inv_n = 1.0 / max(1e-6, cfg.atrous_n_phi)
+    inv_z = 1.0 / max(1e-6, cfg.atrous_z_phi)
+    inv_a = 1.0 / max(1e-6, cfg.atrous_a_phi)
 
     for it in range(max(1, cfg.atrous_iterations)):
         step = 1 << it
@@ -53,11 +60,8 @@ def atrous_denoise(src, albedo, normal, depth, sky, cfg: RenderConfig):
                 dn = jnp.maximum(0.0, 1.0 - jnp.sum(n0 * n, axis=-1))
                 dz = jnp.abs(z - z0)
                 da = jnp.sum(jnp.abs(a - a0), axis=-1)
-                w = (w_base
-                     * jnp.exp(-dl / max(1e-6, cfg.atrous_c_phi))
-                     * jnp.exp(-dn / max(1e-6, cfg.atrous_n_phi))
-                     * jnp.exp(-dz / max(1e-6, cfg.atrous_z_phi))
-                     * jnp.exp(-da / max(1e-6, cfg.atrous_a_phi)))
+                w = w_base * jnp.exp(-(dl * inv_c + dn * inv_n
+                                       + dz * inv_z + da * inv_a))
                 w = jnp.where(s == sky, w, 0.0)
                 accum = accum + c * w[..., None]
                 wsum = wsum + w

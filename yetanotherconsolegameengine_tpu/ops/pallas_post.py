@@ -1,0 +1,474 @@
+"""Fused post-processing Pallas kernel: TAA + à-trous + exposure (+ tail).
+
+The XLA post stages (ops/taa.py temporal blend, ops/atrous.py 3x dilated
+5x5 wavelet, ops/tonemap.py exposure + tone map, ops/ansi.py quantize) are
+stencil-and-pointwise op soup: at terminal resolutions the per-op launch
+overhead costs more than the math (~0.5 ms of a 0.8 ms frame at 160x90 on
+one v5e chip). This kernel runs ALL of it as ONE Pallas program with every
+plane resident in VMEM.
+
+Structure notes (hard-won against Mosaic):
+- Statically unrolling the 3x25 à-trous taps blows the 16 MB VMEM stack
+  (every tap's temporaries stay live); the taps are `fori_loop`s with
+  TRACED shift offsets so one set of buffers is reused.
+- `tpu.dynamic_rotate` needs (8,128)-aligned shapes, so planes are padded
+  to aligned sizes with EDGE REPLICATION — identical to clamp-to-edge for
+  every offset the stencils read — and the pad region is re-replicated
+  between à-trous iterations (the image changes each iteration).
+- Shifts are separable (rows once per tap-row, cols per tap) with the
+  edge-fixup masks computed once per offset and shared across planes.
+- The tone map + ANSI tail runs at full resolution IN-KERNEL when ss == 1
+  (pointwise, so full-res == cell-res values); the caller deinterleaves
+  even/odd rows into the top/bottom half-block grids with two slices.
+
+Semantics match the XLA stages exactly (same formulas, same tap order);
+the only deliberate difference — applied to ops/atrous.py as well so the
+two paths stay numerically aligned — is folding the four edge-stopping
+exponentials into one exp of a sum.
+
+Reference: RaytraceRenderer.cs:274-398 (TemporalBlendWithClamp), :622-722
+(ApplyAtrousDenoise), ToneMapper.cs:49-91/:223-260, and the ANSI-256
+quantizer ANSITerminalRenderer.cs:246-286. All serial producer-thread
+passes in the reference; here one device program.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import RenderConfig
+from .ansi import CUBE_SRGB
+
+_K5 = (1.0 / 16.0, 1.0 / 4.0, 3.0 / 8.0, 1.0 / 4.0, 1.0 / 16.0)
+
+# VMEM budget gate: planes are hi_w*hi_h f32; ~25 live planes plus compiler
+# temporaries must fit 16 MB. 70k pixels covers every cell-resolution
+# BASELINE config (240x135 cells = 64.8k traced px); supersampled buffers
+# fall back to the XLA stages.
+MAX_FUSED_PIXELS = 70_000
+
+
+def post_fuse_ok(hi_w: int, hi_h: int) -> bool:
+    return hi_w * hi_h <= MAX_FUSED_PIXELS
+
+
+def _luma(r, g, b):
+    return 0.2126 * r + 0.7152 * g + 0.0722 * b
+
+
+def _max_offset(cfg: RenderConfig) -> int:
+    """Largest stencil offset any stage reads: à-trous tap 2 at the last
+    dilation, or the TAA clamp radius."""
+    return max(2 << (max(1, cfg.atrous_iterations) - 1),
+               max(0, cfg.taa_clamp_radius))
+
+
+def padded_shape(cfg: RenderConfig, hi_w: int, hi_h: int):
+    """Mosaic's dynamic_rotate needs (8,128)-aligned shapes; additionally
+    the bottom/right padding must cover the largest stencil offset so
+    edge-replicated padding reproduces clamp-to-edge semantics."""
+    off = _max_offset(cfg)
+
+    def up(v, m, need):
+        p = (-v) % m
+        while p < need:
+            p += m
+        return v + p
+
+    return up(hi_h, 8, off), up(hi_w, 128, off)
+
+
+def build_post_kernel(cfg: RenderConfig, hi_w: int, hi_h: int,
+                      sample_step: int, fuse_tail: bool,
+                      interpret: bool = False):
+    hp, wp = padded_shape(cfg, hi_w, hi_h)
+    shape = (hp, wp)
+    alpha = min(max(cfg.taa_alpha, 0.0), 1.0)
+    inv_c = 1.0 / max(1e-6, cfg.atrous_c_phi)
+    inv_n = 1.0 / max(1e-6, cfg.atrous_n_phi)
+    inv_z = 1.0 / max(1e-6, cfg.atrous_z_phi)
+    inv_a = 1.0 / max(1e-6, cfg.atrous_a_phi)
+    step_s = max(2, sample_step)
+    ae_s = 1.0 - math.exp(-float(cfg.ae_speed))
+    inv_gamma = 1.0 / max(0.1, cfg.tone_gamma)
+
+    def kernel(scal_ref,
+               cr_ref, cg_ref, cb_ref,
+               ar_ref, ag_ref, ab_ref,
+               nx_ref, ny_ref, nz_ref, dep_ref, sky_ref,
+               hr_ref, hg_ref, hb_ref,
+               pnx_ref, pny_ref, pnz_ref, pdep_ref, psky_ref,
+               *out_refs):
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        cols_i = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+
+        # Separable edge-clamped shifts with per-offset shared masks.
+        def srow(a, oy, top, bot):
+            out = pltpu.roll(a, jnp.mod(-oy, hp), 0)
+            out = jnp.where(bot, a[hp - 1:hp, :], out)
+            return jnp.where(top, a[0:1, :], out)
+
+        def scol(a, ox, left, right):
+            out = pltpu.roll(a, jnp.mod(-ox, wp), 1)
+            out = jnp.where(right, a[:, wp - 1:wp], out)
+            return jnp.where(left, a[:, 0:1], out)
+
+        def scol_static(a, ox):
+            # Static lane-axis shift: cheaper than a dynamic rotate, and
+            # the column taps' offsets are compile-time constants.
+            if ox == 0:
+                return a
+            out = pltpu.roll(a, (-ox) % wp, 1)
+            if ox > 0:
+                return jnp.where(cols_i >= wp - ox, a[:, wp - 1:wp], out)
+            return jnp.where(cols_i < -ox, a[:, 0:1], out)
+
+        def row_masks(oy):
+            return rows_i < -oy, rows_i >= hp - oy
+
+        cr = cr_ref[:]
+        cg = cg_ref[:]
+        cb = cb_ref[:]
+        sky = sky_ref[:]
+        dep = dep_ref[:]
+
+        # ---- TAA blend (taa.temporal_blend) ----------------------------
+        sky_flip = sky != psky_ref[:]
+        pdep = pdep_ref[:]
+        nonfinite = ~(jnp.isfinite(dep) & jnp.isfinite(pdep))
+        dz = jnp.abs(dep - pdep)
+        rel = dz / jnp.maximum(1e-4, jnp.minimum(dep, pdep))
+
+        def unit3(x, y, z):
+            inv = 1.0 / jnp.maximum(1e-20, jnp.sqrt(x * x + y * y + z * z))
+            return x * inv, y * inv, z * inv
+
+        nxu, nyu, nzu = unit3(nx_ref[:], ny_ref[:], nz_ref[:])
+        pxu, pyu, pzu = unit3(pnx_ref[:], pny_ref[:], pnz_ref[:])
+        ndot = nxu * pxu + nyu * pyu + nzu * pzu
+        react = sky_flip | nonfinite | (rel > 0.05) | (ndot < 0.8)
+        local_alpha = jnp.where(react, 1.0, jnp.float32(alpha))
+
+        lum = _luma(cr, cg, cb)
+        r = max(0, cfg.taa_clamp_radius)
+        side = 2 * r + 1
+
+        def clamp_row(iy, mm):
+            oy = iy - r
+            top, bot = row_masks(oy)
+            lr_ = srow(lum, oy, top, bot)
+            sr_ = srow(sky, oy, top, bot)
+            min_l, max_l = mm
+            for ox in range(-r, r + 1):
+                ls = scol_static(lr_, ox)
+                ss = scol_static(sr_, ox)
+                ok = ss == sky
+                min_l = jnp.minimum(min_l, jnp.where(ok, ls, jnp.inf))
+                max_l = jnp.maximum(max_l, jnp.where(ok, ls, -jnp.inf))
+            return min_l, max_l
+
+        min_l, max_l = jax.lax.fori_loop(
+            0, side, clamp_row,
+            (jnp.full(shape, jnp.inf, jnp.float32),
+             jnp.full(shape, -jnp.inf, jnp.float32)))
+        rng = max_l - min_l
+        l_min = min_l - rng * cfg.taa_luminance_pad
+        l_max = max_l + rng * cfg.taa_luminance_pad
+        hr = hr_ref[:]
+        hg = hg_ref[:]
+        hb = hb_ref[:]
+        prev_l = _luma(hr, hg, hb)
+        scale = jnp.where(prev_l > l_max, l_max / jnp.maximum(1e-6, prev_l),
+                          jnp.where(prev_l < l_min,
+                                    l_min / jnp.maximum(1e-6, prev_l), 1.0))
+        a_ = local_alpha
+        # reset when forced or no valid history (scalars from SMEM).
+        reset = (scal_ref[0, 0] > 0.5) | (scal_ref[0, 1] < 0.5)
+        reset_m = jnp.where(reset, jnp.full(shape, 1.0, jnp.float32),
+                            jnp.zeros(shape, jnp.float32)) > 0.5
+        br = jnp.where(reset_m, cr, hr * scale * (1.0 - a_) + cr * a_)
+        bg = jnp.where(reset_m, cg, hg * scale * (1.0 - a_) + cg * a_)
+        bb = jnp.where(reset_m, cb, hb * scale * (1.0 - a_) + cb * a_)
+        out_refs[0][:] = br
+        out_refs[1][:] = bg
+        out_refs[2][:] = bb
+
+        # ---- à-trous denoise (atrous.atrous_denoise) -------------------
+        a0r = ar_ref[:]
+        a0g = ag_ref[:]
+        a0b = ab_ref[:]
+        z0 = dep
+        sky_solid = sky > 0.5
+
+        def k5(i):
+            # 5-way select (no scalar dynamic gather in Mosaic).
+            v = jnp.float32(_K5[0])
+            for j in range(1, 5):
+                v = jnp.where(i == j, jnp.float32(_K5[j]), v)
+            return v
+
+        def replicate_edges(x):
+            """Refresh the alignment-pad region with the current real edge
+            values, so the next (wider) iteration's reads into the pad
+            keep clamp-to-edge semantics after the image changed."""
+            x = jnp.where(rows_i >= hi_h, x[hi_h - 1:hi_h, :], x)
+            return jnp.where(cols_i >= hi_w, x[:, hi_w - 1:hi_w], x)
+
+        cur_r, cur_g, cur_b = br, bg, bb
+        for it in range(max(1, cfg.atrous_iterations)):
+            dstep = 1 << it
+            # Also needed before iteration 0: the TAA clamp's neighborhood
+            # min/max make the blended pad rows diverge from replication.
+            cur_r = replicate_edges(cur_r)
+            cur_g = replicate_edges(cur_g)
+            cur_b = replicate_edges(cur_b)
+            lum0 = _luma(cur_r, cur_g, cur_b)
+
+            # Tap order (ky, kx) ascending matches atrous.atrous_denoise's
+            # Python loops, so float accumulation order is identical.
+            def tap_row(iy, carry):
+                oy = (iy - 2) * dstep
+                top, bot = row_masks(oy)
+                rcr = srow(cur_r, oy, top, bot)
+                rcg = srow(cur_g, oy, top, bot)
+                rcb = srow(cur_b, oy, top, bot)
+                rnx = srow(nxu, oy, top, bot)
+                rny = srow(nyu, oy, top, bot)
+                rnz = srow(nzu, oy, top, bot)
+                rz = srow(z0, oy, top, bot)
+                rar = srow(a0r, oy, top, bot)
+                rag = srow(a0g, oy, top, bot)
+                rab = srow(a0b, oy, top, bot)
+                rs = srow(sky, oy, top, bot)
+                wy = k5(iy)
+
+                acc_r, acc_g, acc_b, wsum = carry
+                # Column taps unrolled: the offsets are static per
+                # iteration, so these are cheap static lane shifts; only
+                # 5 taps' temporaries are ever live at once.
+                for ix in range(5):
+                    ox = (ix - 2) * dstep
+                    w_base = _K5[ix] * wy
+                    c_r = scol_static(rcr, ox)
+                    c_g = scol_static(rcg, ox)
+                    c_b = scol_static(rcb, ox)
+                    dl = jnp.abs(_luma(c_r, c_g, c_b) - lum0)
+                    dn = jnp.maximum(0.0, 1.0 - (
+                        nxu * scol_static(rnx, ox)
+                        + nyu * scol_static(rny, ox)
+                        + nzu * scol_static(rnz, ox)))
+                    dzt = jnp.abs(scol_static(rz, ox) - z0)
+                    da = (jnp.abs(scol_static(rar, ox) - a0r)
+                          + jnp.abs(scol_static(rag, ox) - a0g)
+                          + jnp.abs(scol_static(rab, ox) - a0b))
+                    w = w_base * jnp.exp(-(dl * inv_c + dn * inv_n
+                                           + dzt * inv_z + da * inv_a))
+                    w = jnp.where(scol_static(rs, ox) == sky, w, 0.0)
+                    acc_r = acc_r + c_r * w
+                    acc_g = acc_g + c_g * w
+                    acc_b = acc_b + c_b * w
+                    wsum = wsum + w
+                return (acc_r, acc_g, acc_b, wsum)
+
+            z4 = jnp.zeros(shape, jnp.float32)
+            acc_r, acc_g, acc_b, wsum = jax.lax.fori_loop(
+                0, 5, tap_row, (z4, z4, z4, z4))
+            has_w = wsum > 1e-8
+            inv_w = 1.0 / jnp.maximum(wsum, 1e-8)
+            out_r = jnp.where(has_w, acc_r * inv_w, cur_r)
+            out_g = jnp.where(has_w, acc_g * inv_w, cur_g)
+            out_b = jnp.where(has_w, acc_b * inv_w, cur_b)
+            cur_r = jnp.where(sky_solid, cur_r, out_r)
+            cur_g = jnp.where(sky_solid, cur_g, out_g)
+            cur_b = jnp.where(sky_solid, cur_b, out_b)
+
+        # ---- auto exposure (tonemap.update_exposure) --------------------
+        ae = scal_ref[0, 2]
+        if cfg.auto_exposure:
+            dlum = _luma(cur_r, cur_g, cur_b)
+            # Exclude the alignment-padding pixels from the reduce.
+            use = ((rows_i % step_s == 0) & (cols_i % step_s == 0)
+                   & (rows_i < hi_h) & (cols_i < hi_w)
+                   & ~sky_solid & (dlum > 0.0))
+            log_l = jnp.where(use, jnp.log(1e-6 + dlum), 0.0)
+            cnt = jnp.sum(use.astype(jnp.float32))
+            avg_log = jnp.sum(log_l) / jnp.maximum(1.0, cnt)
+            avg_lum = jnp.exp(avg_log)
+            target = jnp.clip(cfg.ae_key / jnp.maximum(1e-6, avg_lum),
+                              cfg.ae_min, cfg.ae_max)
+            target = jnp.where(cnt > 0, target, ae)
+            ae = ae + (target - ae) * jnp.float32(ae_s)
+        ae_ref = out_refs[-1]
+        ae_ref[0, 0] = ae
+
+        if not fuse_tail:
+            out_refs[3][:] = cur_r
+            out_refs[4][:] = cur_g
+            out_refs[5][:] = cur_b
+            return
+
+        # ---- tail: tone map + saturation + ANSI-256, full-res pointwise
+        # (ss == 1: cell values ARE pixel values; caller deinterleaves
+        # even/odd rows). tonemap.map_pixels + ansi.rgb_to_ansi256.
+        eff = cfg.tone_exposure * ae
+
+        def aces(x):
+            num = x * (2.51 * x + 0.03)
+            den = x * (2.43 * x + 0.59) + 0.14
+            return jnp.clip(jnp.where(den > 0.0, num / den, 0.0), 0.0, 1.0)
+
+        m_r = jnp.power(aces(jnp.maximum(0.0, cur_r) * eff), inv_gamma)
+        m_g = jnp.power(aces(jnp.maximum(0.0, cur_g) * eff), inv_gamma)
+        m_b = jnp.power(aces(jnp.maximum(0.0, cur_b) * eff), inv_gamma)
+        y = _luma(m_r, m_g, m_b)
+        maxc = jnp.maximum(m_r, jnp.maximum(m_g, m_b))
+        minc = jnp.minimum(m_r, jnp.minimum(m_g, m_b))
+        vib = 1.0 + cfg.tone_vibrance * (1.0 - (maxc - minc))
+        f = cfg.tone_saturation * vib
+        m_r = jnp.clip(y + (m_r - y) * f, 0.0, 1.0)
+        m_g = jnp.clip(y + (m_g - y) * f, 0.0, 1.0)
+        m_b = jnp.clip(y + (m_b - y) * f, 0.0, 1.0)
+        out_refs[3][:] = m_r
+        out_refs[4][:] = m_g
+        out_refs[5][:] = m_b
+
+        # ANSI-256 (ansi.rgb_to_ansi256 with select-based table reads).
+        def srgb8(c):
+            c = jnp.clip(c, 0.0, 1.0)
+            s = jnp.where(c <= 0.0031308, 12.92 * c,
+                          1.055 * jnp.power(c, 1.0 / 2.4) - 0.055)
+            return jnp.round(jnp.clip(s * 255.0, 0.0, 255.0))
+
+        def cube_level(v):
+            return ((v >= 48).astype(jnp.int32) + (v >= 114) + (v >= 154)
+                    + (v >= 194) + (v >= 234))
+
+        def cube_val(lvl):
+            v = jnp.float32(CUBE_SRGB[0])
+            for j in range(1, 6):
+                v = jnp.where(lvl == j, jnp.float32(CUBE_SRGB[j]), v)
+            return v
+
+        r8 = srgb8(m_r)
+        g8 = srgb8(m_g)
+        b8 = srgb8(m_b)
+        ir_ = cube_level(r8)
+        ig_ = cube_level(g8)
+        ib_ = cube_level(b8)
+        idx_cube = 16 + 36 * ir_ + 6 * ig_ + ib_
+        cr8 = cube_val(ir_)
+        cg8 = cube_val(ig_)
+        cb8 = cube_val(ib_)
+        y8 = srgb8(_luma(m_r, m_g, m_b))
+        gray_idx = jnp.clip(jnp.round((y8 - 8.0) / 10.0), 0, 23) \
+            .astype(jnp.int32)
+        gray_v = 8.0 + 10.0 * gray_idx.astype(jnp.float32)
+        idx_gray = 232 + gray_idx
+        chroma = jnp.maximum(jnp.abs(r8 - g8),
+                             jnp.maximum(jnp.abs(r8 - b8),
+                                         jnp.abs(g8 - b8)))
+        d_cube = (r8 - cr8) ** 2 + (g8 - cg8) ** 2 + (b8 - cb8) ** 2
+        d_gray = ((r8 - gray_v) ** 2 + (g8 - gray_v) ** 2
+                  + (b8 - gray_v) ** 2 + 64.0)
+        use_gray = (chroma <= 18.0) & (d_gray < d_cube)
+        out_refs[6][:] = jnp.where(use_gray, idx_gray, idx_cube) \
+            .astype(jnp.int32)
+
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    n_img = 7 if fuse_tail else 6
+    out_shape = [jax.ShapeDtypeStruct(shape, f32) for _ in range(6)]
+    if fuse_tail:
+        out_shape.append(jax.ShapeDtypeStruct(shape, jnp.int32))
+    out_shape.append(jax.ShapeDtypeStruct((1, 1), f32))
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [vspec] * 19,
+        out_specs=[vspec] * n_img + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_shape=out_shape,
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=16)
+def _cached_post(cfg: RenderConfig, hi_w: int, hi_h: int, sample_step: int,
+                 fuse_tail: bool, interpret: bool):
+    return build_post_kernel(cfg, hi_w, hi_h, sample_step, fuse_tail,
+                             interpret=interpret)
+
+
+def _pack_scalars(force_reset, history_valid, ae_exposure):
+    return jnp.stack([
+        jnp.asarray(force_reset, jnp.float32).reshape(()),
+        jnp.asarray(history_valid, jnp.float32).reshape(()),
+        jnp.asarray(ae_exposure, jnp.float32).reshape(()),
+        jnp.float32(0.0),
+    ]).reshape(1, 4)
+
+
+def _padded_args(cfg, hi_w, hi_h, cur, albedo, normal, depth, sky_f,
+                 history, prev_normal, prev_depth, prev_sky_f):
+    hp, wp = padded_shape(cfg, hi_w, hi_h)
+
+    def pad(x):
+        return jnp.pad(x, ((0, hp - hi_h), (0, wp - hi_w)), mode="edge")
+
+    return [pad(cur[0]), pad(cur[1]), pad(cur[2]),
+            pad(albedo[0]), pad(albedo[1]), pad(albedo[2]),
+            pad(normal[0]), pad(normal[1]), pad(normal[2]), pad(depth),
+            pad(sky_f),
+            pad(history[0]), pad(history[1]), pad(history[2]),
+            pad(prev_normal[0]), pad(prev_normal[1]), pad(prev_normal[2]),
+            pad(prev_depth), pad(prev_sky_f)]
+
+
+def post_fused(cfg: RenderConfig, sample_step: int,
+               cur, albedo, normal, depth, sky_f,
+               history, prev_normal, prev_depth, prev_sky_f,
+               history_valid, force_reset, ae_exposure,
+               interpret: bool = False):
+    """Run the fused TAA + à-trous + exposure program (no tail).
+
+    cur/albedo/normal/history/prev_normal: tuples of 3 (H, W) planes;
+    depth/sky_f/prev_depth/prev_sky_f: (H, W) planes (sky as f32 0/1).
+    Returns ((blended r,g,b), (denoised r,g,b), new_ae scalar).
+
+    Planes are edge-replication-padded to Mosaic-aligned shapes before the
+    call (replicated padding == clamp-to-edge for every stencil offset the
+    kernel reads) and sliced back after."""
+    hi_h, hi_w = depth.shape
+    scal = _pack_scalars(force_reset, history_valid, ae_exposure)
+    args = _padded_args(cfg, hi_w, hi_h, cur, albedo, normal, depth, sky_f,
+                        history, prev_normal, prev_depth, prev_sky_f)
+    call = _cached_post(cfg, hi_w, hi_h, sample_step, False, interpret)
+    (br, bg, bb, dr, dg, db, ae) = call(scal, *args)
+    cut = lambda x: x[:hi_h, :hi_w]
+    return ((cut(br), cut(bg), cut(bb)),
+            (cut(dr), cut(dg), cut(db)), ae.reshape(()))
+
+
+def post_fused_tail(cfg: RenderConfig, sample_step: int,
+                    cur, albedo, normal, depth, sky_f,
+                    history, prev_normal, prev_depth, prev_sky_f,
+                    history_valid, force_reset, ae_exposure,
+                    interpret: bool = False):
+    """Fused post INCLUDING the tone-map + ANSI tail (ss == 1 only).
+
+    Returns ((blended r,g,b), (mapped r,g,b full-res), ansi_full (i32),
+    new_ae). The caller deinterleaves even/odd rows into the top/bottom
+    cell grids."""
+    hi_h, hi_w = depth.shape
+    scal = _pack_scalars(force_reset, history_valid, ae_exposure)
+    args = _padded_args(cfg, hi_w, hi_h, cur, albedo, normal, depth, sky_f,
+                        history, prev_normal, prev_depth, prev_sky_f)
+    call = _cached_post(cfg, hi_w, hi_h, sample_step, True, interpret)
+    (br, bg, bb, mr, mg, mb, ansi_full, ae) = call(scal, *args)
+    cut = lambda x: x[:hi_h, :hi_w]
+    return ((cut(br), cut(bg), cut(bb)),
+            (cut(mr), cut(mg), cut(mb)), cut(ansi_full), ae.reshape(()))

@@ -564,38 +564,77 @@ def _splitmix(hi, lo):
     return nhi, nlo, unit
 
 
-def build_kernel(hs: _HostScene, cfg: RenderConfig, n_pixels: int,
+def build_kernel(hs: _HostScene, cfg: RenderConfig, hi_w: int, hi_h: int,
                  interpret: bool = False):
-    """Build the pallas_call for a fixed scene snapshot + pixel count.
+    """Build the pallas_call for a fixed scene snapshot + image size.
+
+    Ray generation and per-pixel RNG seeding happen IN-KERNEL from 18
+    camera/jitter scalars (core/camera.ray_params) + the frame index: the
+    XLA-side raygen + seed hashing cost ~0.24 ms/frame at 160x90 — about
+    as much as the whole trace — and 8 HBM input planes; in-kernel they
+    are a handful of VPU ops per lane. The scalar params are shared with
+    make_jittered_rays so both trace paths derive rays from identical
+    values (the Bayer jitter base is the gather-free closed form,
+    core/sampler.bayer_base).
 
     ``interpret=True`` runs the kernel through the Pallas interpreter (CPU)
     — used by the CI equivalence tests that pin this kernel to the XLA
     wavefront (ops/trace.py) without TPU hardware."""
+    from ..core import sampler, u64
+
     sigma = cfg.diffuse_sigma_deg * math.pi / 180.0
     s2 = sigma * sigma
     on_a = 1.0 - s2 / (2.0 * (s2 + 0.33))
     on_b = 0.45 * s2 / (s2 + 0.09)
     inv_pi = 1.0 / math.pi
 
+    n_pixels = hi_w * hi_h
     rows_total = pl.cdiv(n_pixels, LANES)
     grid = pl.cdiv(rows_total, TILE_R)
 
-    def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-               rhi_ref, rlo_ref,
+    def kernel(par_ref, frame_ref,
                rad_r_ref, rad_g_ref, rad_b_ref, sky_ref,
                alb_r_ref, alb_g_ref, alb_b_ref,
                nx_ref, ny_ref, nz_ref, depth_ref, nray_ref):
         shape = (TILE_R, LANES)
-        ox0 = ox_ref[:]
-        oy0 = oy_ref[:]
-        oz0 = oz_ref[:]
-        dx0 = dx_ref[:]
-        dy0 = dy_ref[:]
-        dz0 = dz_ref[:]
-        rhi = rhi_ref[:]
-        rlo = rlo_ref[:]
-
         f0 = jnp.zeros(shape, jnp.float32)
+
+        # ---- in-kernel jittered ray generation -------------------------
+        # (MakeJitteredRay semantics, RaytraceRenderer.cs:419-437, via the
+        # same scalars as core/camera.make_jittered_rays.)
+        row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        pix = (pl.program_id(0) * TILE_R + row) * LANES + lane
+        lane_ok = pix < n_pixels  # padded tail lanes never trace
+        pyi = pix // hi_w
+        pxi = pix - pyi * hi_w
+
+        base = sampler.bayer_base(pxi, pyi)
+        jx = sampler.frac(sampler.frac(base + par_ref[0, 14])
+                          + par_ref[0, 16]) - 0.5
+        jy = sampler.frac(sampler.frac(base + par_ref[0, 15])
+                          + par_ref[0, 17]) - 0.5
+        uu_ = ((pxi.astype(jnp.float32) + 0.5 + jx) / hi_w) * 2.0 - 1.0
+        vv_ = 1.0 - ((pyi.astype(jnp.float32) + 0.5 + jy) / hi_h) * 2.0
+        uw = uu_ * par_ref[0, 12]
+        vh = vv_ * par_ref[0, 13]
+        dxx = par_ref[0, 3] + par_ref[0, 6] * uw + par_ref[0, 9] * vh
+        dyy = par_ref[0, 4] + par_ref[0, 7] * uw + par_ref[0, 10] * vh
+        dzz = par_ref[0, 5] + par_ref[0, 8] * uw + par_ref[0, 11] * vh
+        dlen = jnp.sqrt(jnp.maximum(1e-20,
+                                    dxx * dxx + dyy * dyy + dzz * dzz))
+        dx0 = dxx / dlen
+        dy0 = dyy / dlen
+        dz0 = dzz / dlen
+        ox0 = par_ref[0, 0] + f0
+        oy0 = par_ref[0, 1] + f0
+        oz0 = par_ref[0, 2] + f0
+
+        # ---- in-kernel per-pixel seed (RaytraceSampler.PerFrameSeed) ----
+        frame_u32 = frame_ref[0, 0].astype(jnp.uint32)
+        rhi, rlo = sampler.per_frame_seed(
+            pxi.astype(jnp.uint32), pyi.astype(jnp.uint32),
+            frame_u32, cfg.seed_salt)
 
         def shade_lights(px, py, pz, nx, ny, nz, wox, woy, woz,
                          alb_r, alb_g, alb_b, active):
@@ -705,8 +744,8 @@ def build_kernel(hs: _HostScene, cfg: RenderConfig, n_pixels: int,
             mirror=f0, diffuse=f0,
             # Bool carries don't lower in Mosaic (i8->i1 trunc); masks
             # live as f32 0/1 and are re-derived as bools in the body.
-            is_primary=jnp.ones(shape, jnp.float32),
-            active=jnp.ones(shape, jnp.float32),
+            is_primary=lane_ok.astype(jnp.float32),
+            active=lane_ok.astype(jnp.float32),
             **({"sp": jnp.zeros(shape, jnp.int32),
                 "stack": jnp.zeros((S, 11, TILE_R, LANES), jnp.float32)}
                if HAS_TR else {}),
@@ -997,8 +1036,12 @@ def build_kernel(hs: _HostScene, cfg: RenderConfig, n_pixels: int,
     return pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[spec] * 6 + [pl.BlockSpec((TILE_R, LANES), lambda i: (i, 0),
-                                            memory_space=pltpu.VMEM)] * 2,
+        in_specs=[
+            pl.BlockSpec((1, 18), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
         out_specs=[spec] * 12,
         out_shape=out_shape,
         interpret=interpret,
@@ -1006,41 +1049,57 @@ def build_kernel(hs: _HostScene, cfg: RenderConfig, n_pixels: int,
 
 
 @functools.lru_cache(maxsize=32)
-def _cached_kernel(hs: _HostScene, cfg: RenderConfig, n_pixels: int,
+def _cached_kernel(hs: _HostScene, cfg: RenderConfig, hi_w: int, hi_h: int,
                    interpret: bool = False):
-    return build_kernel(hs, cfg, n_pixels, interpret=interpret)
+    return build_kernel(hs, cfg, hi_w, hi_h, interpret=interpret)
 
 
-def trace_all_pallas(scene: SceneData, hs: _HostScene, o, d, rng0,
-                     cfg: RenderConfig, interpret: bool = False):
+def trace_all_pallas(scene: SceneData, hs: _HostScene, cam, frame_idx,
+                     hi_w: int, hi_h: int, cfg: RenderConfig,
+                     interpret: bool = False):
     """Drop-in replacement for ops.trace.trace_all on fitting scenes.
 
-    o/d: (P, 3); rng0: (hi, lo) uint32 pairs (P,). Returns the same
-    TraceResult pytree. rays_traced is MEASURED in-kernel (per-lane active
-    + shadow counts, summed) with the same accounting as trace.py, so the
-    two paths report identical counts on the same scene."""
+    Takes the camera pose + frame index instead of ray arrays: primary
+    rays and per-pixel RNG seeds are generated in-kernel (see
+    build_kernel). Returns the same TraceResult pytree with (P,)-leading
+    shapes, P = hi_w * hi_h. rays_traced is MEASURED in-kernel (per-lane
+    active + shadow counts, summed) with the same accounting as trace.py,
+    so the two paths report identical counts on the same scene."""
+    from ..core.camera import ray_params
     from .trace import TraceResult
 
-    P = o.shape[0]
-    rows = -(-P // LANES)
-    pad = rows * LANES - P
-
-    def plane(x):
-        return jnp.pad(x, (0, pad)).reshape(rows, LANES)
-
-    args = [plane(o[:, 0]), plane(o[:, 1]), plane(o[:, 2]),
-            plane(d[:, 0]), plane(d[:, 1]), plane(d[:, 2]),
-            plane(rng0[0]), plane(rng0[1])]
-    call = _cached_kernel(hs, cfg, rows * LANES, interpret)
-    (rr, rg, rb, sky, ar, ag, ab, nx, ny, nz, dep, nray) = call(*args)
-
-    def unplane(x):
-        return x.reshape(-1)[:P]
-
-    radiance = jnp.stack([unplane(rr), unplane(rg), unplane(rb)], axis=-1)
-    albedo = jnp.stack([unplane(ar), unplane(ag), unplane(ab)], axis=-1)
-    normal = jnp.stack([unplane(nx), unplane(ny), unplane(nz)], axis=-1)
-    rays = jnp.sum(unplane(nray)).astype(jnp.int32)
-    return TraceResult(radiance=radiance, is_sky=unplane(sky) > 0.5,
-                       albedo=albedo, normal=normal, depth=unplane(dep),
+    (rr, rg, rb), sky, (ar, ag, ab), (nx, ny, nz), dep, rays = \
+        trace_planes_pallas(scene, hs, cam, frame_idx, hi_w, hi_h, cfg,
+                            interpret=interpret)
+    flat = lambda x: x.reshape(-1)
+    radiance = jnp.stack([flat(rr), flat(rg), flat(rb)], axis=-1)
+    albedo = jnp.stack([flat(ar), flat(ag), flat(ab)], axis=-1)
+    normal = jnp.stack([flat(nx), flat(ny), flat(nz)], axis=-1)
+    return TraceResult(radiance=radiance, is_sky=flat(sky) > 0.5,
+                       albedo=albedo, normal=normal, depth=flat(dep),
                        rays_traced=rays)
+
+
+def trace_planes_pallas(scene: SceneData, hs: _HostScene, cam, frame_idx,
+                        hi_w: int, hi_h: int, cfg: RenderConfig,
+                        interpret: bool = False):
+    """Megakernel trace returning per-channel (hi_h, hi_w) image planes —
+    the layout the fused post kernel (ops/pallas_post.py) consumes.
+
+    Returns ((rad_r, rad_g, rad_b), sky_f32, (alb r,g,b), (n x,y,z),
+    depth, rays_traced)."""
+    from ..core.camera import ray_params
+
+    P = hi_w * hi_h
+    params = ray_params(cam, hi_w, hi_h, frame_idx).reshape(1, 18)
+    frame = jnp.asarray(frame_idx, jnp.int32).reshape(1, 1)
+    call = _cached_kernel(hs, cfg, hi_w, hi_h, interpret)
+    (rr, rg, rb, sky, ar, ag, ab, nx, ny, nz, dep, nray) = call(params, frame)
+
+    def img(x):
+        return x.reshape(-1)[:P].reshape(hi_h, hi_w)
+
+    rays = jnp.sum(nray.reshape(-1)[:P]).astype(jnp.int32)
+    return ((img(rr), img(rg), img(rb)), img(sky),
+            (img(ar), img(ag), img(ab)), (img(nx), img(ny), img(nz)),
+            img(dep), rays)

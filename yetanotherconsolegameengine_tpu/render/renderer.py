@@ -82,13 +82,17 @@ def init_state(fb_w: int, fb_h: int, ss: int = 1) -> FrameState:
 
 def frame_step(scene: SceneData, cam: CameraPose, state: FrameState,
                fb_w: int, fb_h: int, ss: int = 1,
-               cfg: RenderConfig = DEFAULT_CONFIG, host_scene=None):
+               cfg: RenderConfig = DEFAULT_CONFIG, host_scene=None,
+               pallas_interpret: bool = False):
     """Render one frame. Pure; jit with static (fb_w, fb_h, ss, cfg,
-    host_scene).
+    host_scene, pallas_interpret).
 
     ``host_scene`` (a pallas_trace._HostScene snapshot) routes the trace
-    through the Pallas megakernel (~8x the XLA wavefront on TPU); None
-    keeps the XLA path (CPU tests, mesh/voxel scenes, dynamic scenes)."""
+    through the Pallas megakernel (raygen + RNG seeding run in-kernel) and,
+    when the image fits VMEM, the TAA/denoise/exposure stages through the
+    fused Pallas post kernel; None keeps the XLA path (CPU tests,
+    mesh/voxel scenes, dynamic scenes). ``pallas_interpret`` runs the
+    Pallas programs through the interpreter for CPU-based CI."""
     ss = max(1, ss)
     hi_w, hi_h = fb_w * ss, fb_h * 2 * ss
     frame = state.frame_idx + 1
@@ -101,53 +105,95 @@ def frame_step(scene: SceneData, cam: CameraPose, state: FrameState,
     if scene.has_dynamic_textures:
         reset = jnp.asarray(True)
 
-    # Ray generation (RaytraceRenderer.cs:183-194).
-    o, d = make_jittered_rays(cam, hi_w, hi_h, frame_idx)
-
-    # Per-pixel RNG seeds (RaytraceRenderer.cs:203).
-    px = jax.lax.broadcasted_iota(jnp.uint32, (hi_h, hi_w), 1)
-    py = jax.lax.broadcasted_iota(jnp.uint32, (hi_h, hi_w), 0)
-    seed = sampler.per_frame_seed(px, py, frame_idx, cfg.seed_salt)
-
-    # Path trace the full grid (the hot loop, :201-216).
-    if host_scene is not None:
-        from ..ops.pallas_trace import trace_all_pallas
-        res = trace_all_pallas(
-            scene, host_scene, o.reshape(-1, 3), d.reshape(-1, 3),
-            (seed[0].reshape(-1), seed[1].reshape(-1)), cfg)
+    from ..ops import pallas_post
+    fuse_post = host_scene is not None and pallas_post.post_fuse_ok(hi_w,
+                                                                    hi_h)
+    fused_tail = None
+    if fuse_post:
+        # Fully fused device path: megakernel trace (rays + seeds
+        # in-kernel) -> one Pallas program for TAA + à-trous + exposure
+        # (+ the tone-map/ANSI tail when ss == 1).
+        from ..ops.pallas_trace import trace_planes_pallas
+        rad3, sky_f, alb3, n3, dep, rays_traced = trace_planes_pallas(
+            scene, host_scene, cam, frame_idx, hi_w, hi_h, cfg,
+            interpret=pallas_interpret)
+        g_depth = jnp.where(dep >= INF, jnp.float32(3.4e38), dep)
+        hist3 = tuple(state.history[..., k] for k in range(3))
+        pn3 = tuple(state.prev_normal[..., k] for k in range(3))
+        post_args = (cfg, max(2, ss * 2), rad3, alb3, n3, g_depth, sky_f,
+                     hist3, pn3, state.prev_depth,
+                     state.prev_sky.astype(jnp.float32),
+                     state.history_valid, reset, state.ae_exposure)
+        if ss == 1:
+            b3, m3, ansi_full, new_ae = pallas_post.post_fused_tail(
+                *post_args, interpret=pallas_interpret)
+            # Deinterleave even/odd rows into the '▀' top/bottom grids.
+            fused_tail = (
+                jnp.stack([m[0::2] for m in m3], axis=-1),
+                jnp.stack([m[1::2] for m in m3], axis=-1),
+                ansi_full[0::2], ansi_full[1::2])
+        else:
+            b3, d3, new_ae = pallas_post.post_fused(
+                *post_args, interpret=pallas_interpret)
+            denoised = jnp.stack(d3, axis=-1)
+        exposure = cfg.tone_exposure * new_ae
+        blended = jnp.stack(b3, axis=-1)
+        sky = sky_f > 0.5
+        g_normal = jnp.stack(n3, axis=-1)
     else:
-        res = trace.trace_all(
-            scene, o.reshape(-1, 3), d.reshape(-1, 3),
-            (seed[0].reshape(-1), seed[1].reshape(-1)), cfg)
-    hdr = res.radiance.reshape(hi_h, hi_w, 3)
-    sky = res.is_sky.reshape(hi_h, hi_w)
-    g_albedo = res.albedo.reshape(hi_h, hi_w, 3)
-    g_normal = res.normal.reshape(hi_h, hi_w, 3)
-    g_depth = jnp.where(res.depth.reshape(hi_h, hi_w) >= INF,
-                        jnp.float32(3.4e38), res.depth.reshape(hi_h, hi_w))
+        # Path trace the full grid (the hot loop, :201-216).
+        if host_scene is not None:
+            from ..ops.pallas_trace import trace_all_pallas
+            res = trace_all_pallas(scene, host_scene, cam, frame_idx,
+                                   hi_w, hi_h, cfg,
+                                   interpret=pallas_interpret)
+        else:
+            # Ray generation (RaytraceRenderer.cs:183-194).
+            o, d = make_jittered_rays(cam, hi_w, hi_h, frame_idx)
+            # Per-pixel RNG seeds (RaytraceRenderer.cs:203).
+            px = jax.lax.broadcasted_iota(jnp.uint32, (hi_h, hi_w), 1)
+            py = jax.lax.broadcasted_iota(jnp.uint32, (hi_h, hi_w), 0)
+            seed = sampler.per_frame_seed(px, py, frame_idx, cfg.seed_salt)
+            res = trace.trace_all(
+                scene, o.reshape(-1, 3), d.reshape(-1, 3),
+                (seed[0].reshape(-1), seed[1].reshape(-1)), cfg)
+        rays_traced = res.rays_traced
+        hdr = res.radiance.reshape(hi_h, hi_w, 3)
+        sky = res.is_sky.reshape(hi_h, hi_w)
+        g_albedo = res.albedo.reshape(hi_h, hi_w, 3)
+        g_normal = res.normal.reshape(hi_h, hi_w, 3)
+        g_depth = jnp.where(res.depth.reshape(hi_h, hi_w) >= INF,
+                            jnp.float32(3.4e38),
+                            res.depth.reshape(hi_h, hi_w))
 
-    # Temporal blend (:218) and spatial denoise (:221-224).
-    blended = taa.temporal_blend(hdr, g_normal, g_depth, sky,
-                                 state.history, state.prev_normal,
-                                 state.prev_depth, state.prev_sky,
-                                 state.history_valid, reset, cfg)
-    denoised = atrous.atrous_denoise(blended, g_albedo, g_normal, g_depth,
-                                     sky, cfg)
+        # Temporal blend (:218) and spatial denoise (:221-224).
+        blended = taa.temporal_blend(hdr, g_normal, g_depth, sky,
+                                     state.history, state.prev_normal,
+                                     state.prev_depth, state.prev_sky,
+                                     state.history_valid, reset, cfg)
+        denoised = atrous.atrous_denoise(blended, g_albedo, g_normal,
+                                         g_depth, sky, cfg)
 
-    # Auto exposure (:226-227).
-    new_ae, exposure = tonemap.update_exposure(
-        denoised, sky, state.ae_exposure, cfg, sample_step=max(2, ss * 2))
+        # Auto exposure (:226-227).
+        new_ae, exposure = tonemap.update_exposure(
+            denoised, sky, state.ae_exposure, cfg,
+            sample_step=max(2, ss * 2))
 
-    # Half-block downsample + tone map (:229-264).
-    cells = denoised.reshape(fb_h, 2, ss, fb_w, ss, 3).mean(axis=(2, 4))
-    top = tonemap.map_pixels(cells[:, 0], exposure, cfg)
-    bot = tonemap.map_pixels(cells[:, 1], exposure, cfg)
+    if fused_tail is not None:
+        top, bot, fg_a, bg_a = fused_tail
+    else:
+        # Half-block downsample + tone map (:229-264).
+        cells = denoised.reshape(fb_h, 2, ss, fb_w, ss, 3).mean(axis=(2, 4))
+        top = tonemap.map_pixels(cells[:, 0], exposure, cfg)
+        bot = tonemap.map_pixels(cells[:, 1], exposure, cfg)
+        fg_a = ansi.rgb_to_ansi256(top)
+        bg_a = ansi.rgb_to_ansi256(bot)
 
     out = FrameOutput(
         top_rgb=top, bot_rgb=bot,
-        fg_ansi=ansi.rgb_to_ansi256(top),
-        bg_ansi=ansi.rgb_to_ansi256(bot),
-        rays_traced=res.rays_traced,
+        fg_ansi=fg_a,
+        bg_ansi=bg_a,
+        rays_traced=rays_traced,
     )
     new_state = FrameState(
         history=blended, prev_normal=g_normal, prev_depth=g_depth,
