@@ -15,6 +15,14 @@ import json
 import time
 
 import jax
+import numpy as np
+
+
+def _sync(x):
+    """Host-readback sync: jax.block_until_ready does not reliably block
+    on the axon-tunneled TPU backend (see bench.py); a 1-element dependent
+    readback does."""
+    np.asarray(x[-1, 0, 0] if getattr(x, "ndim", 0) >= 3 else x)
 import jax.numpy as jnp
 import numpy as np
 
@@ -24,12 +32,12 @@ def bench_scene(name, scene, fb_w, fb_h, batch=30, n_batches=3):
 
     r = RaytraceRenderer(scene, fb_w=fb_w, fb_h=fb_h, ss=1)
     grids, out = r.render_many(batch)
-    jax.block_until_ready(grids[0])
+    _sync(grids[0])
     rays = int(out.rays_traced)
     t0 = time.perf_counter()
     for _ in range(n_batches):
         grids, out = r.render_many(batch)
-    jax.block_until_ready(grids[0])
+    _sync(grids[0])
     dt = (time.perf_counter() - t0) / (n_batches * batch)
     fps = 1.0 / dt
     print(json.dumps({
@@ -86,6 +94,11 @@ def main():
     bench_scene("Voxel DDA room", SCENE_BUILDERS["voxel_test"](), 160, 90)
     bench_scene("Bunny mesh BVH", SCENE_BUILDERS["bunny"](), 160, 90,
                 batch=10, n_batches=2)
+    # The BASELINE.md north star: a dragon-class mesh (~600k tris, the
+    # procedural stand-in for the missing xyzrgb_dragon.obj) at the
+    # reference's 240x135 cell geometry.
+    bench_scene("Dragon mesh (598k tris)", SCENE_BUILDERS["dragon"](),
+                240, 135, batch=10, n_batches=2)
     bench_lbvh_rebuild()
 
 

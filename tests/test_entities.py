@@ -63,7 +63,10 @@ def test_museum_builds_and_renders():
         frame_step, init_state)
 
     scene = build_museum()
-    assert scene.mesh is not None
+    # Big static meshes (the 69k-tri bunny asset when present) build cluster
+    # tables; small stand-ins build the skip-link BVH. Either accel must be
+    # there.
+    assert scene.mesh is not None or scene.mesh_clusters is not None
     assert np.asarray(scene.rects.mask).sum() >= 12  # three rooms of walls
     out, _ = jax.jit(lambda s, c, st: frame_step(s, c, st, fb_w=20, fb_h=12,
                                                  ss=1))(

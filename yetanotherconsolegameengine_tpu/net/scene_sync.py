@@ -178,7 +178,7 @@ def read_snapshot(f):
         disks=tb(DiskTable, "disks"),
         planes=tb(PlaneTable, "planes"),
         triangles=tb(TriangleTable, "triangles"),
-        mesh=None, voxels=None,  # skipped, SyncScene.cs:393-396
+        mesh=None, mesh_clusters=None, voxels=None,  # skipped, SyncScene.cs:393-396
         lights=tb(LightTable, "lights"),
         ambient_color=jnp.asarray(head["ambient_color"]),
         ambient_intensity=jnp.asarray(head["ambient_intensity"][0]),

@@ -405,7 +405,12 @@ def intersect_triangles(tb, o, d, tmin, tmax) -> Hit:
 
 def intersect_scene(scene, o, d, tmin, tmax) -> Hit:
     """Nearest hit across every primitive table (the TPU `Scene.Hit`,
-    cf. Scenes/Scene.cs:71-75)."""
+    cf. Scenes/Scene.cs:71-75).
+
+    The cheap dense tables run FIRST and their running best-t feeds the
+    mesh/voxel traversals as a per-ray tmax: a ray already stopped by the
+    floor clips its BVH/cluster/DDA march at that depth — the biggest
+    single lever for rays that miss the hero geometry."""
     h = Hit.miss(o.shape[0])
     h = merge(h, intersect_spheres(scene.spheres, o, d, tmin, tmax))
     h = merge(h, intersect_boxes(scene.boxes, o, d, tmin, tmax))
@@ -414,10 +419,16 @@ def intersect_scene(scene, o, d, tmin, tmax) -> Hit:
     h = merge(h, intersect_disks(scene.disks, o, d, tmin, tmax))
     h = merge(h, intersect_planes(scene.planes, o, d, tmin, tmax))
     h = merge(h, intersect_triangles(scene.triangles, o, d, tmin, tmax))
+    t_clip = jnp.minimum(jnp.broadcast_to(tmax, h.t.shape), h.t + 1e-3)
     if scene.mesh is not None:
         from .mesh_bvh import intersect_mesh
-        h = merge(h, intersect_mesh(scene.mesh, o, d, tmin, tmax))
+        h = merge(h, intersect_mesh(scene.mesh, o, d, tmin, t_clip))
+    if scene.mesh_clusters is not None:
+        from .mesh_clusters import intersect_clusters
+        h = merge(h, intersect_clusters(scene.mesh_clusters, o, d, tmin,
+                                        t_clip))
     if scene.voxels is not None:
         from .dda import intersect_voxels
-        h = merge(h, intersect_voxels(scene.voxels, o, d, tmin, tmax))
+        t_clip = jnp.minimum(t_clip, h.t + 1e-3)
+        h = merge(h, intersect_voxels(scene.voxels, o, d, tmin, t_clip))
     return h

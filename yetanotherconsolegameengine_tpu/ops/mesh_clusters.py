@@ -1,0 +1,591 @@
+"""Cluster-matmul mesh traversal: the TPU-native answer to MeshBVH.
+
+The reference traverses a binned-SAH BVH per ray with a stack
+(/root/reference/ConsoleGame/RayTracing/Objects/MeshBVH.cs:132-304). Round 1
+re-expressed that as a lockstep skip-link walk (ops/mesh_bvh.py) — correct,
+but one (P, 60) gather per traversal step is ~5x the compute it feeds, and
+the lockstep cost is the MAX visited-node count, so a 69k-tri mesh ran at
+~1.4 Mray/s. This module replaces per-ray pointer chasing with the
+TPU-shaped equivalent: *tile-synchronous dense cluster testing* (the "ray
+stream tracing" family — rays stream as coherent bundles, geometry streams
+as dense blocks, and all intersection math is matmul/VPU-shaped).
+
+  1. HOST BUILD  — triangles are sorted into a spatially coherent linear
+     order (recursive median split) and packed into CONSECUTIVE clusters of
+     exactly KC=256 with tight AABBs (zero padding waste). Each cluster
+     bakes its triangles' Woop world->barycentric transforms into one
+     (4, 768) f32 block (rows = x/y/z/affine, lanes = [U | V | W] per
+     triangle), so a whole cluster is ONE aligned 12 KB DMA and its
+     intersection is a single matmul.
+  2. XLA CULL    — rays are binned into coherent tiles of T=256 (stable
+     sort by direction octant + origin Morton; primary rays keep image
+     order). Each tile is split into 4 sub-bundles of 64; a dense
+     conservative interval-arithmetic slab test of every sub-bundle against
+     every cluster AABB yields, per tile, a near-to-far sorted candidate
+     list. This is the "traversal", done in bulk on the VPU instead of
+     serially per ray — and it cannot overflow: capacity is the full
+     cluster count. Rays that cannot touch the global mesh AABB within
+     their [tmin, tmax] never enter a tile at all.
+  3. PALLAS KERNEL — one grid step per tile. The leading chunk of the
+     tile's list is DMA'd to SMEM (more only if the list is long); a
+     dynamic while_loop streams candidate clusters HBM->VMEM (NBUF-deep
+     async pipeline) and evaluates all 256 rays x 256 triangles per visit
+     as one skinny (768,4)x(4,512) MXU matmul + VPU validity masks. A
+     single bit-packed min-reduce tracks the winner: the low 8 mantissa
+     bits of each candidate t are overwritten with the triangle index, so
+     one i32 min gives both nearest-t and its triangle. The loop EXITS as
+     soon as the next cluster's conservative entry distance exceeds every
+     ray's current best (near-to-far order makes this exact).
+  4. XLA RESOLVE — one row gather per ray fetches the winning triangle and
+     re-runs exact Moller-Trumbore for full-precision t/u/v (the in-kernel
+     t lost its 8 low mantissa bits, ~3e-5 relative, fine for pruning but
+     not for shading).
+
+Approximate reciprocal (+1 Newton step, ~2^-24 rel) keeps the per-visit
+divide off the critical path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .intersect import INF, Hit, _safe_div
+
+KC = 256               # triangles per cluster (= sublane extent of the eval)
+TILE = 256             # rays per tile
+SUB = 4                # sub-bundles per tile for the cull
+NBUF = 4               # cluster DMA pipeline depth
+EXIT_CHUNK = 8         # visits between early-exit checks
+DISABLE_EARLY_EXIT = False   # debug/ablation knob
+LIST_CHUNK = 512       # list entries DMA'd to SMEM up front
+_NEG0_BITS = np.int32(-0x80000000)   # bits of -0.0 == INT32_MIN
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MeshClusters:
+    """Device-resident cluster tables (static per mesh)."""
+
+    cbmin: jax.Array     # (C, 3) cluster AABB min
+    cbmax: jax.Array     # (C, 3)
+    gmat: jax.Array      # (C, 8, 3*KC) Woop blocks (rows 4-7 zero pad)
+    tri_rows: jax.Array  # (C*KC, 16): a(3) e1(3) e2(3) n(3) mat 0 0 0
+    bounds: jax.Array    # (2, 3) global mesh AABB (for ray-sort Morton keys)
+
+    @property
+    def n_clusters(self) -> int:
+        return self.cbmin.shape[0]
+
+
+def _woop_rows(a: np.ndarray, b: np.ndarray, c: np.ndarray):
+    """Per-triangle world->barycentric affine rows (float64 inverse).
+
+    Returns (rows, const): rows (T, 3, 3) = U/V/W vectors, const (T, 3)
+    = the affine terms (-U.A, -V.A, -W.A). Degenerate triangles get all-zero
+    rows and const (-1,-1,-1): dw==0 -> t=inf/NaN -> never valid.
+    """
+    a64 = a.astype(np.float64)
+    e1 = b.astype(np.float64) - a64
+    e2 = c.astype(np.float64) - a64
+    n = np.cross(e1, e2)
+    s = np.stack([e1, e2, n], axis=-1)          # (T, 3, 3) columns e1|e2|n
+    det = np.linalg.det(s)
+    ok = np.abs(det) > 1e-18
+    s_safe = np.where(ok[:, None, None], s, np.eye(3)[None])
+    inv = np.linalg.inv(s_safe)                  # (T, 3, 3) rows U/V/W
+    inv = np.where(ok[:, None, None], inv, 0.0)
+    const = -np.einsum("tij,tj->ti", inv, a64)
+    const = np.where(ok[:, None], const, -1.0)
+    return inv.astype(np.float32), const.astype(np.float32)
+
+
+def build_clusters(a: np.ndarray, b: np.ndarray, c: np.ndarray,
+                   mat: np.ndarray) -> MeshClusters:
+    """Spatial-sort + consecutive-KC packing host build."""
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    c = np.asarray(c, np.float32)
+    mat = np.asarray(mat, np.int32)
+    T = a.shape[0]
+    tmin = np.minimum(np.minimum(a, b), c)
+    tmax = np.maximum(np.maximum(a, b), c)
+    cent = (tmin + tmax) * 0.5
+
+    # Recursive median sort gives a spatially coherent linear order; packing
+    # CONSECUTIVE runs of exactly KC into clusters then wastes no padded
+    # slots, at the cost of slightly looser AABBs where a run straddles a
+    # split. Sorting down to KC/4-sized leaves keeps those spans small.
+    order = np.arange(T)
+    stack = [(0, T)]
+    while stack:
+        lo, hi = stack.pop()
+        if hi - lo <= max(KC // 4, 32):
+            continue
+        idx = order[lo:hi]
+        cb = cent[idx]
+        ax = int(np.argmax(cb.max(axis=0) - cb.min(axis=0)))
+        srt = np.argsort(cb[:, ax], kind="stable")
+        order[lo:hi] = idx[srt]
+        mid = lo + (hi - lo) // 2
+        stack.append((mid, hi))
+        stack.append((lo, mid))
+
+    ranges = [(lo, min(lo + KC, T)) for lo in range(0, T, KC)]
+    C = len(ranges)
+    a_s, b_s, c_s, m_s = a[order], b[order], c[order], mat[order]
+    rows, const = _woop_rows(a_s, b_s, c_s)
+
+    cbmin = np.zeros((C, 3), np.float32)
+    cbmax = np.zeros((C, 3), np.float32)
+    gmat = np.zeros((C, 8, 3 * KC), np.float32)
+    tri_rows = np.zeros((C * KC, 16), np.float32)
+    # Degenerate padding slots: const=-1, rows=0 (never valid).
+    gmat[:, 3, :] = -1.0
+
+    e1 = b_s - a_s
+    e2 = c_s - a_s
+    nrm = np.cross(e1, e2)
+    ln = np.linalg.norm(nrm, axis=1, keepdims=True)
+    nrm = nrm / np.maximum(ln, 1e-20)
+
+    for ci, (lo, hi) in enumerate(ranges):
+        cnt = hi - lo
+        sl = slice(lo, hi)
+        cbmin[ci] = tmin[order[sl]].min(axis=0)
+        cbmax[ci] = tmax[order[sl]].max(axis=0)
+        for comp in range(3):   # x, y, z rows
+            gmat[ci, comp, 0 * KC:0 * KC + cnt] = rows[sl, 0, comp]
+            gmat[ci, comp, 1 * KC:1 * KC + cnt] = rows[sl, 1, comp]
+            gmat[ci, comp, 2 * KC:2 * KC + cnt] = rows[sl, 2, comp]
+        gmat[ci, 3, 0 * KC:0 * KC + cnt] = const[sl, 0]
+        gmat[ci, 3, 1 * KC:1 * KC + cnt] = const[sl, 1]
+        gmat[ci, 3, 2 * KC:2 * KC + cnt] = const[sl, 2]
+        dst = slice(ci * KC, ci * KC + cnt)
+        tri_rows[dst, 0:3] = a_s[sl]
+        tri_rows[dst, 3:6] = e1[sl]
+        tri_rows[dst, 6:9] = e2[sl]
+        tri_rows[dst, 9:12] = nrm[sl]
+        tri_rows[dst, 12] = m_s[sl]
+
+    bounds = np.stack([cbmin.min(axis=0), cbmax.max(axis=0)])
+    return MeshClusters(
+        cbmin=jnp.asarray(cbmin), cbmax=jnp.asarray(cbmax),
+        gmat=jnp.asarray(gmat), tri_rows=jnp.asarray(tri_rows),
+        bounds=jnp.asarray(bounds))
+
+
+# ---------------------------------------------------------------------------
+# XLA cull: sub-bundle frusta vs cluster AABBs (conservative intervals)
+# ---------------------------------------------------------------------------
+
+def _axis_interval(ol, oh, dl, dh, lo, hi):
+    """Conservative [t_lo, t_hi] during which ANY ray with origin in
+    [ol, oh] and direction in [dl, dh] can be inside slab [lo, hi].
+
+    Entirely branch-free; any case it cannot bound returns [0, INF).
+    """
+    inf = jnp.float32(INF)
+    overlap = (oh >= lo) & (ol <= hi)
+    right = ol > hi     # all origins right of slab
+    # Entry lower bound.
+    t_lo = jnp.where(
+        overlap, 0.0,
+        jnp.where(right,
+                  jnp.where(dl < 0.0, (hi - ol) / dl, inf),
+                  jnp.where(dh > 0.0, (lo - oh) / dh, inf)))
+    # Exit upper bound: unbounded unless direction is sign-definite.
+    t_hi = jnp.where(dl > 0.0, (hi - ol) / dl,
+                     jnp.where(dh < 0.0, (lo - oh) / dh, inf))
+    return t_lo, jnp.maximum(t_hi, 0.0)
+
+
+def _tile_cull(o_t, d_t, act_t, tmax_t, cbmin, cbmax):
+    """Per-tile near-to-far candidate lists from SUB sub-bundle frusta.
+
+    o_t/d_t: (n_tiles, T, 3). Returns (ids (n_tiles, Cp) i32, te_bits
+    (n_tiles, Cp) i32 ascending, lens (n_tiles,) i32)."""
+    inf = jnp.float32(INF)
+    big = jnp.float32(2.0e30)
+    n_tiles = o_t.shape[0]
+    C = cbmin.shape[0]
+    S = SUB
+    o_s = o_t.reshape(n_tiles, S, TILE // S, 3)
+    d_s = d_t.reshape(n_tiles, S, TILE // S, 3)
+    a_s = act_t.reshape(n_tiles, S, TILE // S)
+    x_s = tmax_t.reshape(n_tiles, S, TILE // S)
+    a3 = a_s[..., None]
+    ol = jnp.min(jnp.where(a3, o_s, big), axis=2)    # (n_tiles, S, 3)
+    oh = jnp.max(jnp.where(a3, o_s, -big), axis=2)
+    dl = jnp.min(jnp.where(a3, d_s, big), axis=2)
+    dh = jnp.max(jnp.where(a3, d_s, -big), axis=2)
+    any_act = jnp.any(a_s, axis=2)                   # (n_tiles, S)
+    tmax_hi = jnp.max(jnp.where(a_s, x_s, 0.0), axis=2)
+
+    t_lo = jnp.zeros((n_tiles, S, C), jnp.float32)
+    t_hi = jnp.full_like(t_lo, inf)
+    for ax in range(3):
+        lo_a, hi_a = _axis_interval(
+            ol[:, :, ax:ax + 1], oh[:, :, ax:ax + 1],
+            dl[:, :, ax:ax + 1], dh[:, :, ax:ax + 1],
+            cbmin[None, None, :, ax], cbmax[None, None, :, ax])
+        t_lo = jnp.maximum(t_lo, lo_a)
+        t_hi = jnp.minimum(t_hi, hi_a)
+
+    cand_s = ((t_lo <= t_hi * 1.0001 + 1e-4)
+              & (t_lo < tmax_hi[..., None]) & any_act[..., None])
+    key_s = jnp.where(cand_s, t_lo, inf)
+    key = jnp.min(key_s, axis=1)                     # (n_tiles, C)
+    cand = jnp.any(cand_s, axis=1)
+
+    Cp = ((C + 127) // 128) * 128
+    pad = Cp - C
+    if pad:
+        key = jnp.pad(key, ((0, 0), (0, pad)), constant_values=INF)
+    iota = jnp.broadcast_to(
+        jnp.arange(Cp, dtype=jnp.int32)[None, :], key.shape)
+    te, ids = jax.lax.sort([key, iota], num_keys=1)  # one fused sort pass
+    te_bits = jax.lax.bitcast_convert_type(te, jnp.int32)
+    lens = jnp.sum(cand.astype(jnp.int32), axis=1)
+    return ids, te_bits, lens
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+def _trace_kernel(lens_smem, lists_hbm, gmat_hbm, rays_ref, out_ref,
+                  lst, gbuf, sem_l, sem_g):
+    T = TILE
+    i = pl.program_id(0)
+    n = lens_smem[i]
+    Cp = lst.shape[1]
+
+    # List DMA in LIST_CHUNK pieces: typical tiles need one 4 KB chunk, not
+    # the whole Cp row (SMEM DMA bandwidth is precious). Later chunks load
+    # only when the list is actually that long.
+    for ch in range(0, Cp, LIST_CHUNK):
+        sz = min(LIST_CHUNK, Cp - ch)
+
+        def _load(ch=ch, sz=sz):
+            cpy = pltpu.make_async_copy(
+                lists_hbm.at[i, :, pl.ds(ch, sz)],
+                lst.at[:, pl.ds(ch, sz)], sem_l)
+            cpy.start()
+            cpy.wait()
+
+        if ch == 0:
+            _load()
+        else:
+            pl.when(n > ch)(_load)
+
+    od = rays_ref[:, 0:2 * T]          # (4, 2T): [o|1] then [d|0] columns
+    # hi/lo bf16 split of the ray columns (hoisted out of the visit loop).
+    od_hi = od.astype(jnp.bfloat16)
+    od_lo = (od - od_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    lim = rays_ref[:, 2 * T:3 * T]     # (4, T): rows = init_bits tmin . .
+    init_packed = pltpu.bitcast(lim[0:1, :], jnp.int32)    # (1, T)
+    tmin = lim[1:2, :]                                     # (1, T)
+
+    def get_dma(slot, j):
+        cid = lst[0, j]
+        return pltpu.make_async_copy(gmat_hbm.at[cid], gbuf.at[slot],
+                                     sem_g.at[slot])
+
+    @pl.when(n > 0)
+    def _():
+        for jj in range(NBUF - 1):
+            @pl.when(jj < n)
+            def _():
+                get_dma(jj, jj).start()
+
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (KC, T), 0)
+
+    # The winner state (best_packed, best_cid) rides the while CARRY as
+    # VALUES. Ref-carried state read back inside the loop body/cond is
+    # discharged to its pre-loop value by Pallas (verified empirically:
+    # both the cond and cross-iteration body reads went stale, silently
+    # corrupting winner tracking) — only pure DMA/semaphore ops live under
+    # pl.when; all state updates are masked by `ok` instead.
+    def _visit(j, best_packed, best_cid):
+        ok = j < n
+        js = jnp.minimum(j, Cp - 1)
+        slot = jax.lax.rem(js, NBUF)
+
+        @pl.when(ok)
+        def _():
+            get_dma(slot, js).wait()
+
+        g = gbuf[slot][0:4, :]                         # (4, 3KC)
+        # Precision is load-bearing: the MXU's DEFAULT matmul precision is
+        # a single bf16 pass, and the Woop rows of fine triangles are large
+        # (|U| ~ 1/edge) with the barycentrics emerging from catastrophic
+        # cancellation — at bf16 mantissa the u/v tests are garbage (3% of
+        # bunny pixels speckled). Mosaic offers only DEFAULT or HIGHEST
+        # (6 passes, ~2x frame cost), so do the classic 3-pass hi/lo bf16
+        # decomposition by hand: err ~2^-22, half the HIGHEST cost.
+        g_hi = g.astype(jnp.bfloat16)
+        g_lo = (g - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dn = (((0,), (0,)), ((), ()))
+        rr = (jax.lax.dot_general(g_hi, od_hi, dn,
+                                  preferred_element_type=jnp.float32)
+              + jax.lax.dot_general(g_hi, od_lo, dn,
+                                    preferred_element_type=jnp.float32)
+              + jax.lax.dot_general(g_lo, od_hi, dn,
+                                    preferred_element_type=jnp.float32))
+        ou = rr[:KC, :T]
+        ov = rr[KC:2 * KC, :T]
+        ow = rr[2 * KC:, :T]
+        du = rr[:KC, T:]
+        dv = rr[KC:2 * KC, T:]
+        dw = rr[2 * KC:, T:]
+        bt = pltpu.bitcast(best_packed & ~jnp.int32(255), jnp.float32)
+        r0 = pl.reciprocal(dw, approx=True)
+        inv_dw = r0 * (2.0 - dw * r0)                  # one Newton step
+        t = -ow * inv_dw
+        u = ou + t * du
+        v = ov + t * dv
+        m = jnp.minimum(jnp.minimum(u, v), 1.0 - u - v)
+        # Small barycentric slack keeps shared edges watertight against
+        # residual rounding (HIGHEST-precision matmul is ~f32 but not
+        # bit-identical); overlapping acceptance double-hits resolve via
+        # the nearest-t min and the XLA resolve recomputes exact t/u/v.
+        valid = (m >= -1e-3) & (t > tmin) & (t < bt)   # NaNs fail all three
+        tt = jnp.where(valid, t, jnp.float32(3.0e38))
+        packed = (pltpu.bitcast(tt, jnp.int32) & ~jnp.int32(255)) | k_iota
+        pmin = jnp.min(packed, axis=0, keepdims=True)  # (1, T)
+        better = (pmin < best_packed) & ok
+        best_packed = jnp.where(better, pmin, best_packed)
+        best_cid = jnp.where(better, lst[0, js], best_cid)
+        # Refill the PREVIOUS iteration's slot (entry js+NBUF-1 lands in
+        # slot (js-1) % NBUF): no iteration ever DMA-writes the slot it is
+        # reading. Starting the refill of the CURRENT slot in the same
+        # iteration is a write-after-read race — Mosaic does not order
+        # async-copy writes against in-flight vector reads of the same
+        # buffer (symptom: ~0.5-9%% of rays returned a different cluster's
+        # t with the right cid; deterministic under the synchronous
+        # interpreter, speckle on hardware).
+        nxt = js + NBUF - 1
+        @pl.when(ok & (nxt < n))
+        def _():
+            get_dma(jax.lax.rem(nxt, NBUF), nxt).start()
+        return best_packed, best_cid
+
+    def cond(st):
+        # Near-to-far lists: once the next cluster's conservative entry
+        # exceeds every ray's current best, nothing can improve. The
+        # maxbest bound is refreshed once per EXIT_CHUNK visits: the (1, T)
+        # max-reduce costs ~20% of a visit, so per-visit checking loses
+        # more than it saves.
+        j, best_packed, best_cid = st
+        if DISABLE_EARLY_EXIT:
+            return j < n
+        return (j < n) & (lst[1, jnp.minimum(j, Cp - 1)]
+                          < jnp.max(best_packed))
+
+    def chunk(st):
+        j, best_packed, best_cid = st
+        for k in range(EXIT_CHUNK):
+            best_packed, best_cid = _visit(j + k, best_packed, best_cid)
+        return j + EXIT_CHUNK, best_packed, best_cid
+
+    j, best_packed, best_cid = jax.lax.while_loop(
+        cond, chunk, (jnp.int32(0), init_packed,
+                      jnp.full((1, T), -1, jnp.int32)))
+    jc = jnp.minimum(j, n)
+
+    # Drain the DMA pipeline: an early exit leaves up to NBUF-1 prefetched
+    # copies in flight; their semaphores MUST be consumed before the kernel
+    # ends or the device wedges.
+    def _drain(jj, x):
+        get_dma(jax.lax.rem(jj, NBUF), jj).wait()
+        return x
+    jax.lax.fori_loop(jc, jnp.minimum(jc + NBUF - 1, n), _drain,
+                      jnp.int32(0))
+
+    out_ref[0:1, :] = best_packed
+    out_ref[1:2, :] = best_cid
+    out_ref[2:3, :] = jnp.broadcast_to(jc, (1, T))    # visits (loop iters)
+    out_ref[3:4, :] = jnp.broadcast_to(n, (1, T))     # list length
+
+
+def _run_kernel(lens, lists, gmat, rays, n_tiles, interpret=False):
+    T = TILE
+    Cp = lists.shape[2]
+    return pl.pallas_call(
+        _trace_kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # lens (n_tiles,)
+            pl.BlockSpec(memory_space=pl.ANY),       # lists (n_tiles,2,Cp)
+            pl.BlockSpec(memory_space=pl.ANY),       # gmat (C,4,3KC)
+            pl.BlockSpec((4, 3 * T), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((4, T), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((4, n_tiles * T), jnp.int32),
+        scratch_shapes=[
+            pltpu.SMEM((2, Cp), jnp.int32),
+            pltpu.VMEM((NBUF, 8, 3 * KC), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+        ],
+        interpret=interpret,
+    )(lens, lists, gmat, rays)
+
+
+# ---------------------------------------------------------------------------
+# Ray binning + end-to-end intersect
+# ---------------------------------------------------------------------------
+
+def _morton3(q: jax.Array, bits: int) -> jax.Array:
+    """Interleave 3 x `bits`-bit ints (q: (..., 3) i32) -> Morton code."""
+    code = jnp.zeros(q.shape[:-1], jnp.int32)
+    for b in range(bits):
+        for ax in range(3):
+            code = code | (((q[..., ax] >> b) & 1) << (3 * b + ax))
+    return code
+
+
+def _sort_keys(o, d, active, bounds):
+    """Direction-octant-major, origin-Morton-minor binning keys. Stable
+    argsort keeps the (already image-coherent) original order within equal
+    keys, so primary rays stay in pixel-block order for free."""
+    oct_ = (((d[:, 0] < 0).astype(jnp.int32))
+            | ((d[:, 1] < 0).astype(jnp.int32) << 1)
+            | ((d[:, 2] < 0).astype(jnp.int32) << 2))
+    span = jnp.maximum(bounds[1] - bounds[0], 1e-6)
+    q = jnp.clip(((o - bounds[0]) / span * 31.0), 0.0, 31.0).astype(jnp.int32)
+    key = (oct_ << 15) | _morton3(q, 5)
+    return jnp.where(active, key, jnp.int32(1 << 29))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "stats"))
+def _intersect_impl(mc: MeshClusters, o, d, t_lo, t_hi, interpret=False,
+                    stats=False):
+    P = o.shape[0]
+    T = TILE
+    Pp = ((P + T - 1) // T) * T
+    pad = Pp - P
+    active = jnp.max(jnp.abs(o), axis=1) < 1.0e30
+    # Global-AABB prefilter: rays that cannot touch the mesh bounds within
+    # [t_lo, t_hi] never enter a tile (sky rays and floor-clipped rays are
+    # the bulk of a real frame).
+    inv_d = _safe_div(jnp.ones_like(d), d)
+    ta = (mc.bounds[0][None] - o) * inv_d
+    tb = (mc.bounds[1][None] - o) * inv_d
+    tn = jnp.max(jnp.minimum(ta, tb), axis=1)
+    tf = jnp.min(jnp.maximum(ta, tb), axis=1)
+    active = active & (tn <= tf) & (tf >= t_lo) & (tn <= t_hi)
+    # No triangle lies beyond the ray's global-AABB exit: clamping each
+    # ray's search window to it keeps rays that pass THROUGH the bounds but
+    # miss the mesh from poisoning the tile's early-exit bound.
+    t_hi = jnp.minimum(t_hi, tf * 1.0001 + 1e-3)
+    if pad:
+        o = jnp.pad(o, ((0, pad), (0, 0)))
+        d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+        t_lo = jnp.pad(t_lo, (0, pad))
+        t_hi = jnp.pad(t_hi, (0, pad))
+        active = jnp.pad(active, (0, pad))
+
+    key = _sort_keys(o, d, active, mc.bounds)
+    iota = jnp.arange(Pp, dtype=jnp.int32)
+    _, sidx = jax.lax.sort([key, iota], num_keys=1, is_stable=True)
+    o_s = o[sidx]
+    d_s = d[sidx]
+    tlo_s = t_lo[sidx]
+    thi_s = t_hi[sidx]
+    act_s = active[sidx]
+
+    n_tiles = Pp // T
+    o_t = o_s.reshape(n_tiles, T, 3)
+    d_t = d_s.reshape(n_tiles, T, 3)
+    act_t = act_s.reshape(n_tiles, T)
+    thi_t = thi_s.reshape(n_tiles, T)
+
+    ids, te_bits, lens = _tile_cull(o_t, d_t, act_t, thi_t,
+                                    mc.cbmin, mc.cbmax)
+    lists = jnp.stack([ids, te_bits], axis=1)          # (n_tiles, 2, Cp)
+
+    # Ray blocks: (4, 3T) per tile = [o|1][d|0][lim] column groups.
+    thi_eff = jnp.where(act_s, jnp.minimum(thi_s, jnp.float32(3.0e37)),
+                        0.0)
+    init_bits = jnp.where(
+        act_s,
+        jax.lax.bitcast_convert_type(thi_eff, jnp.int32) | jnp.int32(255),
+        jnp.int32(_NEG0_BITS))
+    init_f = jax.lax.bitcast_convert_type(init_bits, jnp.float32)
+    o4 = jnp.concatenate([o_s, jnp.ones((Pp, 1), jnp.float32)], axis=1)
+    d4 = jnp.concatenate([d_s, jnp.zeros((Pp, 1), jnp.float32)], axis=1)
+    lim = jnp.stack([init_f, tlo_s, jnp.zeros_like(tlo_s),
+                     jnp.zeros_like(tlo_s)], axis=1)   # (Pp, 4)
+    rays = jnp.concatenate([
+        o4.reshape(n_tiles, T, 4),
+        d4.reshape(n_tiles, T, 4),
+        lim.reshape(n_tiles, T, 4),
+    ], axis=1)                                         # (n_tiles, 3T, 4)
+    rays = rays.transpose(2, 0, 1).reshape(4, n_tiles * 3 * T)
+
+    out = _run_kernel(lens, lists, mc.gmat, rays, n_tiles,
+                      interpret=interpret)             # (4, n_tiles*T)
+
+    # Unsort the two winner words (scatter by sidx), then resolve
+    # attributes in original ray order.
+    unsort = jnp.zeros((Pp,), jnp.int32).at[sidx].set(iota)
+    packed = out[0, :][unsort][:P]
+    cid = out[1, :][unsort][:P]
+
+    hit = cid >= 0
+    kk = packed & 255
+    flat = jnp.where(hit, cid * KC + kk, 0)
+    row = mc.tri_rows[flat]                            # THE per-ray gather
+    a = row[:, 0:3]
+    e1 = row[:, 3:6]
+    e2 = row[:, 6:9]
+    n = row[:, 9:12]
+    mat = row[:, 12].astype(jnp.int32)
+
+    # Exact single-triangle Moller-Trumbore recompute (full precision).
+    o_r = o[:P]
+    d_r = d[:P]
+    h = jnp.cross(d_r, e2)
+    det = jnp.sum(e1 * h, axis=1)
+    inv_det = _safe_div(jnp.ones_like(det), det)
+    s = o_r - a
+    u = jnp.sum(s * h, axis=1) * inv_det
+    q = jnp.cross(s, e1)
+    v = jnp.sum(d_r * q, axis=1) * inv_det
+    t = jnp.sum(e2 * q, axis=1) * inv_det
+    t_approx = jax.lax.bitcast_convert_type(packed & ~jnp.int32(255),
+                                            jnp.float32)
+    ok = jnp.abs(det) >= 1e-12
+    t = jnp.where(ok, t, t_approx)
+    u = jnp.clip(jnp.where(ok, u, 0.0), 0.0, 1.0)
+    v = jnp.clip(jnp.where(ok, v, 0.0), 0.0, 1.0)
+
+    nd = jnp.sum(n * d_r, axis=1)
+    n = jnp.where((nd < 0.0)[:, None], n, -n)
+    res = Hit(t=jnp.where(hit, t, INF), n=n, u=u, v=v, mat=mat, hit=hit)
+    if stats:
+        # (visits, lens) per tile: visits = loop iterations actually run.
+        return res, (out[2, ::T], out[3, ::T], lens)
+    return res
+
+
+def intersect_clusters(mc: MeshClusters, o, d, tmin, tmax,
+                       interpret: bool = None) -> Hit:
+    """Nearest-hit over the cluster tables. o/d: (P, 3); tmin/tmax scalar
+    or (P,). Matches intersect_mesh semantics (double-sided, normal flipped
+    against the ray). ``interpret=None`` auto-selects the Pallas
+    interpreter off-TPU (CPU CI)."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+    P = o.shape[0]
+    t_lo = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (P,))
+    t_hi = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (P,))
+    return _intersect_impl(mc, o, d, t_lo, t_hi, interpret=interpret)

@@ -67,7 +67,8 @@ MAX_UNROLL = 160
 
 def scene_fits(scene: SceneData) -> bool:
     """Can this scene run in the megakernel?"""
-    if scene.mesh is not None or scene.voxels is not None:
+    if (scene.mesh is not None or scene.mesh_clusters is not None
+            or scene.voxels is not None):
         return False
     if scene.textures is not None:
         return False

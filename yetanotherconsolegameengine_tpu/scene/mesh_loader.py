@@ -167,6 +167,75 @@ def make_knot(p: int = 2, q: int = 3, seg_u: int = 160, seg_v: int = 12,
     return np.concatenate([t1, t2]).astype(np.float32)
 
 
+def make_dragon(seg_u: int = 1152, seg_v: int = 260) -> np.ndarray:
+    """Dragon-class procedural hero mesh: ~2*seg_u*seg_v triangles
+    (defaults: 599,040 — the same order as the reference's
+    ``xyzrgb_dragon.obj``, a missing large blob in the mount, loaded by
+    MeshScenes.cs:135-143). The BASELINE.md north star (60 fps @ 240x135 on
+    a dragon-class mesh) needs a real ~half-million-triangle denominator,
+    so this sweeps a coiling, tapered serpentine body with elliptical
+    cross-sections, multi-frequency "scale" displacement and dorsal ridge
+    spikes — compact spatial extent, high curvature, uneven triangle
+    density: a deliberately BVH-hostile shape, unlike a smooth knot.
+    Deterministic (pure trig), ~1 s to generate.
+    """
+    u = np.linspace(0.0, 1.0, seg_u, endpoint=False)
+    # Coiling path: two horizontal loops that rise, then a rearing "neck".
+    ang = u * (4.0 * np.pi)
+    coil_r = 1.6 - 0.9 * u                       # spiral inward
+    rise = 1.8 * u ** 1.5
+    neck = np.clip((u - 0.82) / 0.18, 0.0, 1.0)  # head rears up
+    center = np.stack([
+        coil_r * np.cos(ang),
+        rise + 1.2 * neck ** 2,
+        coil_r * np.sin(ang),
+    ], axis=-1)
+    # Frame from finite differences.
+    tang = np.roll(center, -1, 0) - np.roll(center, 1, 0)
+    tang[0] = center[1] - center[0]
+    tang[-1] = center[-1] - center[-2]
+    tang /= np.maximum(np.linalg.norm(tang, axis=1, keepdims=True), 1e-9)
+    ref = np.asarray([0.0, 1.0, 0.0])
+    side = np.cross(tang, ref)
+    side /= np.maximum(np.linalg.norm(side, axis=1, keepdims=True), 1e-9)
+    up = np.cross(side, tang)
+
+    # Tapered elliptical body: fat belly, thin tail, bulbous head.
+    body = 0.32 * np.sin(np.pi * np.clip(u / 0.9, 0.0, 1.0)) ** 0.7 + 0.02
+    head = 0.16 * np.exp(-((u - 0.97) / 0.035) ** 2)
+    rad = body + head                              # (U,)
+
+    v = np.linspace(0.0, 2.0 * np.pi, seg_v, endpoint=False)
+    uu = u[:, None]
+    vv = v[None, :]
+    # Scale/ridge displacement: several incommensurate sine octaves plus
+    # dorsal spikes along the back (v ~ pi/2).
+    disp = (0.08 * np.sin(73.0 * uu * 2 * np.pi + 3.0 * vv)
+            * np.sin(11.0 * vv + 41.0 * uu * 2 * np.pi)
+            + 0.05 * np.sin(187.0 * uu * 2 * np.pi + 7.0 * vv)
+            + 0.04 * np.cos(311.0 * uu * 2 * np.pi - 5.0 * vv))
+    spike = (np.maximum(0.0, np.cos(vv - 0.5 * np.pi)) ** 24
+             * (0.5 + 0.5 * np.sin(140.0 * uu * 2 * np.pi)) * 0.9)
+    r_uv = rad[:, None] * (1.0 + disp + spike)     # (U, V)
+
+    ell = 1.25  # taller than wide
+    circ = (np.cos(vv)[..., None] * side[:, None, :]
+            + ell * np.sin(vv)[..., None] * up[:, None, :])
+    ring = center[:, None, :] + r_uv[..., None] * circ   # (U, V, 3)
+
+    i = np.arange(seg_u - 1)   # open ends (tail tip / head cap via taper->0)
+    j = np.arange(seg_v)
+    i1 = i + 1
+    j1 = (j + 1) % seg_v
+    p00 = ring[i][:, j]
+    p10 = ring[i1][:, j]
+    p01 = ring[i][:, j1]
+    p11 = ring[i1][:, j1]
+    t1 = np.stack([p00, p10, p11], axis=2).reshape(-1, 3, 3)
+    t2 = np.stack([p00, p11, p01], axis=2).reshape(-1, 3, 3)
+    return np.concatenate([t1, t2]).astype(np.float32)
+
+
 def make_gem(sides: int = 6, height: float = 1.0,
              radius: float = 0.6) -> np.ndarray:
     """Low-poly bipyramid "gem" — a tiny faceted refraction test mesh."""

@@ -17,8 +17,9 @@ from typing import Optional
 import numpy as np
 
 from .materials import Material
-from .mesh_loader import (find_asset, load_obj, make_gem, make_icosphere,
-                          make_knot, make_torus, mesh_bounds, transform_mesh)
+from .mesh_loader import (find_asset, load_obj, make_dragon, make_gem,
+                          make_icosphere, make_knot, make_torus, mesh_bounds,
+                          transform_mesh)
 from .tables import SceneBuilder, SceneData
 
 # MeshSwatches: flat-ish plastic materials aligned to the console palette
@@ -95,11 +96,12 @@ def build_cow_scene() -> SceneData:
 
 def build_dragon_scene() -> SceneData:
     """xyzrgb dragon (MeshScenes.cs:135-143). The dragon OBJ is a missing
-    large blob in the reference mount, so the stand-in (a dense torus knot)
-    is the usual path; a real dragon OBJ is used when discoverable."""
+    large blob in the reference mount, so the stand-in is ``make_dragon``
+    — a ~600k-triangle procedural hero mesh, the same order as the real
+    asset, so the BASELINE.md 60fps@240x135 north star is actually
+    measured; a real dragon OBJ is used when discoverable."""
     return _single_mesh_scene("dragon", "xyzrgb_dragon.obj",
-                              lambda: make_knot(p=3, q=4, seg_u=256, seg_v=16),
-                              SWATCH["gold"], scale=2.6)
+                              make_dragon, SWATCH["gold"], scale=2.6)
 
 
 def build_glass_gem_scene() -> SceneData:

@@ -23,6 +23,11 @@ import numpy as np
 
 from .materials import Material, MaterialBank, MaterialTable
 
+# Meshes at or above this size build cluster tables (ops/mesh_clusters.py,
+# tile-synchronous Pallas traversal) instead of the skip-link MeshBVH; below
+# it the per-ray walk is competitive and CPU-test-friendly.
+CLUSTER_MIN_TRIS = 16384
+
 
 def _pad_rows(arr: np.ndarray, n: int) -> np.ndarray:
     pad = [(0, n - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
@@ -160,6 +165,7 @@ class SceneData:
     planes: PlaneTable
     triangles: TriangleTable
     mesh: Optional[Any]      # ops.mesh_bvh.MeshBVH or None
+    mesh_clusters: Optional[Any]  # ops.mesh_clusters.MeshClusters or None
     voxels: Optional[Any]    # ops.dda.VoxelWorld or None
     lights: LightTable
     ambient_color: jax.Array      # (3,)
@@ -256,10 +262,9 @@ class SceneBuilder:
         self._triangles.append((tuple(a), tuple(b), tuple(c), self._mid(mat)))
 
     def add_mesh_triangles(self, tris, mat: Material):
-        """Bulk triangles destined for the mesh BVH; `tris` is (N,3,3)."""
+        """Bulk triangles destined for the mesh accel; `tris` is (N,3,3)."""
         mid = self._mid(mat)
-        for t in np.asarray(tris, np.float32):
-            self._mesh_tris.append((t[0], t[1], t[2], mid))
+        self._mesh_tris.append((np.asarray(tris, np.float32), mid))
 
     def add_texture(self, image) -> int:
         """Register a (H, W, 3) float32 linear image; returns texture id."""
@@ -342,13 +347,25 @@ class SceneBuilder:
                         intensity=col(self._lights, 2, f32))
 
         mesh = None
+        mesh_clusters = None
         if self._mesh_tris:
-            from ..ops.mesh_bvh import build_mesh_bvh
-            a = np.stack([t[0] for t in self._mesh_tris]).astype(f32)
-            b = np.stack([t[1] for t in self._mesh_tris]).astype(f32)
-            c = np.stack([t[2] for t in self._mesh_tris]).astype(f32)
-            mat_ids = np.asarray([t[3] for t in self._mesh_tris], i32)
-            mesh = build_mesh_bvh(a, b, c, mat_ids)
+            tris = np.concatenate(
+                [np.asarray(t, f32).reshape(-1, 3, 3)
+                 for t, _ in self._mesh_tris])
+            mat_ids = np.concatenate(
+                [np.full(np.asarray(t).reshape(-1, 3, 3).shape[0], m, i32)
+                 for t, m in self._mesh_tris])
+            a, b, c = tris[:, 0], tris[:, 1], tris[:, 2]
+            if tris.shape[0] >= CLUSTER_MIN_TRIS:
+                # Big static meshes take the tile-synchronous cluster-matmul
+                # path (ops/mesh_clusters.py); the per-ray skip-link walk is
+                # gather-bound at this size and its host SAH build with
+                # LEAF_K=4 would dominate scene construction.
+                from ..ops.mesh_clusters import build_clusters
+                mesh_clusters = build_clusters(a, b, c, mat_ids)
+            else:
+                from ..ops.mesh_bvh import build_mesh_bvh
+                mesh = build_mesh_bvh(a, b, c, mat_ids)
 
         textures = None
         if self.textures:
@@ -362,7 +379,8 @@ class SceneBuilder:
             materials=self.bank.build(),
             spheres=spheres, boxes=boxes, rects=rects, cylinders=cylinders,
             disks=disks, planes=planes, triangles=triangles,
-            mesh=mesh, voxels=self.voxels, lights=lights,
+            mesh=mesh, mesh_clusters=mesh_clusters,
+            voxels=self.voxels, lights=lights,
             ambient_color=jnp.asarray(self.ambient_color, jnp.float32),
             ambient_intensity=jnp.asarray(self.ambient_intensity, jnp.float32),
             bg_top=jnp.asarray(self.bg_top, jnp.float32),
