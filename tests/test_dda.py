@@ -121,7 +121,7 @@ def test_voxel_scene_end_to_end():
     from yetanotherconsolegameengine_tpu.scene.voxel_scenes import (
         build_voxel_test_scene)
 
-    scene = build_voxel_test_scene()
+    scene = build_voxel_test_scene(merge="dda")
     assert scene.voxels is not None
     state = init_state(24, 16, 1)
     out, _ = jax.jit(

@@ -309,12 +309,33 @@ class RaytraceRenderer:
         self.fov_deg = float(fov_deg)
         self._cam_cache = None
 
+    def _update_video_textures(self):
+        """Poll live readers and refresh their texture-bank slots (the
+        reference samples the reader buffer directly, Texture.cs:62-112;
+        here the latest frame is uploaded once per rendered frame)."""
+        if not self.scene.has_dynamic_textures:
+            return
+        from ..video import textures as vidtex
+        tex = self.scene.textures
+        changed = False
+        for tid, reader in vidtex.readers_for(self.scene.name):
+            frame = reader.try_get_frame()
+            if frame is None:
+                continue
+            img = jnp.asarray(vidtex.frame_to_texture(frame))
+            h, w = img.shape[:2]
+            tex = tex.at[tid, :h, :w, :].set(img)
+            changed = True
+        if changed:
+            self.scene = dataclasses.replace(self.scene, textures=tex)
+
     def render(self) -> FrameOutput:
         # Rebuilding CameraPose costs a host->device upload round-trip per
         # frame over the axon tunnel — cache it while the pose is unchanged.
         if self._cam_cache is None:
             self._cam_cache = CameraPose.create(
                 self.cam_pos, self.yaw, self.pitch, self.fov_deg)
+        self._update_video_textures()
         out, self.state = self._step(self.scene, self._cam_cache, self.state,
                                      host_scene=self._hs)
         return out
@@ -324,8 +345,10 @@ class RaytraceRenderer:
         advances the renderer state. ``poses``: optional list of
         (pos, yaw, pitch) per frame. Returns
         ((fg_ansi_u8, bg_ansi_u8) stacked (n, fb_h, fb_w), last frame's
-        FrameOutput)."""
+        FrameOutput). Video textures refresh once per BATCH (the scan is
+        one device program; per-frame texture updates need render())."""
         import numpy as np
+        self._update_video_textures()
         if poses is None:
             poses = [(self.cam_pos, self.yaw, self.pitch)] * n
         # Stack on host: ONE upload for the whole pose sequence (per-pose

@@ -206,6 +206,28 @@ def build_texture_test() -> SceneData:
     return s.build()
 
 
+def build_video_texture() -> SceneData:
+    """Live video on a box: the reference's dynamic-Texture path
+    (Renderer/Texture.cs:62-112 wrapping a running IFrameReader;
+    RaytraceRenderer.cs:171 resets TAA every frame while live). A
+    synthetic animated reader keeps the scene self-contained; the engine's
+    'V' video mode covers full-screen ffmpeg/camera sources."""
+    from ..video.readers import SyntheticReader
+
+    s = SceneBuilder("video_texture")
+    s.ambient_color, s.ambient_intensity = (1, 1, 1), 0.5
+    tid = s.add_video_texture(SyntheticReader(width=128, height=72))
+    tex_mat = Material(albedo=(0.5, 0.5, 0.5), proc=2, tex_id=tid,
+                       tex_weight=1.0, uv_scale=1.0)
+    s.add_box((-0.8, -0.45, -2.5), (0.8, 0.45, -1.7), tex_mat)
+    s.add_xz_rect(-6.0, 6.0, -6.0, 2.0, -0.55,
+                  Material.checker((0.7, 0.7, 0.7), (0.25, 0.25, 0.25), 0.5))
+    s.add_light((0.0, 2.0, 0.0), (1, 1, 1), 10.0)
+    s.bg_top = s.bg_bottom = (0.02, 0.02, 0.03)
+    s.set_camera((0.0, 0.0, 0.5), fov=60.0)
+    return s.build()
+
+
 def build_glass_showcase() -> SceneData:
     """Refractive sphere over checker — exercises the Fresnel reflect+refract
     path stack and colored shadow transmittance (the clear sphere of
@@ -237,6 +259,7 @@ SCENE_BUILDERS = {
     "boxes": build_boxes_showcase,
     "demo_random": build_demo_scene,
     "texture_test": build_texture_test,
+    "video_texture": build_video_texture,
     "glass": build_glass_showcase,
 }
 

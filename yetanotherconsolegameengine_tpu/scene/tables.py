@@ -278,6 +278,23 @@ class SceneBuilder:
         img = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
         return self.add_texture(img ** 2.2)
 
+    def add_video_texture(self, reader) -> int:
+        """Bind a live frame reader (video/camera/synthetic) to a texture
+        slot (the reference's dynamic Texture wrapping a running reader,
+        Renderer/Texture.cs:62-112). The renderer polls the reader each
+        frame and refreshes the slot; TAA history resets every frame while
+        the scene is live (RaytraceRenderer.cs:171)."""
+        from ..video import textures as vidtex
+        frame = reader.try_get_frame()
+        if frame is not None:
+            img = vidtex.frame_to_texture(frame)
+        else:
+            img = np.zeros((reader.height, reader.width, 3), np.float32)
+        tid = self.add_texture(img)
+        self.has_dynamic_textures = True
+        vidtex.register(self.name, tid, reader)
+        return tid
+
     def add_light(self, pos, color, intensity):
         self._lights.append((tuple(pos), tuple(color), float(intensity)))
 
