@@ -207,3 +207,39 @@ def test_volume_scene_physics(tmp_path):
         assert np.isfinite(np.asarray(scene.lights.intensity)).all()
     finally:
         vs.manager.shutdown()
+
+
+def test_chunk_local_rivers_carve():
+    """The per-chunk river pass (RiverNetwork.ComputeForChunk) must carve
+    where chunk-local accumulation exceeds the threshold: a synthetic
+    valley funnels every column's flow into one line."""
+    from yetanotherconsolegameengine_tpu.world.rivers import compute_for_chunk
+    from yetanotherconsolegameengine_tpu.world.settings import WorldGenSettings
+
+    n, pad = 32, 1
+    g = n + 2 * pad
+    x = np.arange(g)[:, None] + np.zeros((1, g))
+    z = np.arange(g)[None, :] + np.zeros((g, 1))
+    # V-shaped valley along x=center, sloping down in +z.
+    h = 40.0 + np.abs(x - g / 2) * 2.0 - z * 0.5
+    gs = WorldGenSettings(river_min_accum=20.0)
+    depth, water_y = compute_for_chunk(h, pad, gs, sea_level=8.0)
+    assert depth.shape == (n, n)
+    # The valley floor accumulates the whole chunk's flow downslope and
+    # must carve there; the ridges must not.
+    mid = n // 2
+    assert depth[mid, -4:].max() > 0.0
+    assert depth[2, :].max() == 0.0
+    assert (depth <= gs.river_carve_depth + 1e-6).all()
+    riv = depth > 0
+    assert (water_y[riv] >= 8.0).all()
+
+
+def test_generate_chunk_cells_with_rivers_runs():
+    from yetanotherconsolegameengine_tpu.world.settings import WorldConfig
+    from yetanotherconsolegameengine_tpu.world.worldgen import generate_chunk_cells
+
+    cfg = WorldConfig(chunks_x=4, chunks_z=4, chunks_y=2, chunk_size=32)
+    blocks, meta, any_solid = generate_chunk_cells(1, 0, 1, cfg)
+    assert blocks.shape == (32, 32, 32)
+    assert any_solid

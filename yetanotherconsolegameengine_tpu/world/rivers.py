@@ -68,6 +68,57 @@ def flow_accumulation(height: np.ndarray, fdir: np.ndarray) -> np.ndarray:
     return acc
 
 
+def compute_for_chunk(height_halo: np.ndarray, pad: int,
+                      gs: WorldGenSettings, sea_level: float,
+                      water_depth: float = 2.0):
+    """Chunk-local rivers (RiverNetwork.ComputeForChunk, RiverNetwork.cs:
+    14-116): D8 directions from GLOBAL heights (the halo provides the
+    out-of-chunk neighbors), but accumulation restricted to the chunk's
+    own cells — flow leaving the chunk is dropped, so live-streamed
+    (unsaved) worlds get approximate local rivers with the reference's
+    chunk-border discontinuities.
+
+    Deliberate deviation: the reference pushes accumulation in ASCENDING
+    height order (RiverNetwork.cs:64-78), which means upstream flow
+    arrives AFTER a cell has already pushed — accumulation caps at ~9 and
+    with RiverAccumThreshold=50 its chunk rivers never actually carve. We
+    push upstream-before-downstream (descending, like both its and our
+    GLOBAL passes), so chunk-local rivers genuinely appear.
+
+    height_halo: (C+2*pad, C+2*pad) float heights; returns
+    (carve_depth (C, C) float, river_water_y (C, C) float).
+    """
+    h = np.asarray(height_halo, np.float64)
+    fdir = flow_directions(h)
+    inner = slice(pad, h.shape[0] - pad), slice(pad, h.shape[1] - pad)
+    hi = h[inner]
+    C0, C1 = hi.shape
+
+    acc = np.ones((C0, C1))
+    order = np.argsort(hi, axis=None)[::-1]     # highest first
+    xs, zs = np.unravel_index(order, (C0, C1))
+    fd = fdir[inner][xs, zs]
+    for i in range(len(xs)):
+        k = fd[i]
+        if k < 0:
+            continue
+        tx = xs[i] + _D8[k, 0]
+        tz = zs[i] + _D8[k, 1]
+        if 0 <= tx < C0 and 0 <= tz < C1:
+            acc[tx, tz] += acc[xs[i], zs[i]]
+    thresh = gs.river_min_accum
+    t = (acc - thresh) / max(thresh, 1e-6)
+    depth = np.where(t > 0.0,
+                     np.minimum(gs.river_carve_depth,
+                                np.maximum(0.0, t) * gs.river_carve_depth),
+                     0.0)
+    bed = hi - np.floor(depth)
+    water_y = np.where(depth > 0.0,
+                       np.maximum(sea_level, bed + np.ceil(water_depth)),
+                       sea_level)
+    return depth, water_y
+
+
 def carve(height: np.ndarray, gs: WorldGenSettings):
     """Returns (carved_height, river_mask, water_surface_delta).
 

@@ -25,19 +25,30 @@ from .settings import IslandSettings, WorldConfig, WorldGenSettings
 
 def _column_fields(gx: np.ndarray, gz: np.ndarray, cfg: WorldConfig,
                    isl: IslandSettings, gs: WorldGenSettings,
-                   carve_rivers: bool):
+                   carve_rivers: bool, chunk_carve=None):
     """Shared column-level fields for a grid of world columns.
 
-    gx/gz: (W, H) world-space voxel coordinates (centered on the island)."""
+    gx/gz: (W, H) world-space voxel coordinates (centered on the island).
+    ``chunk_carve``: optional (carve_depth, river_water_y) from the
+    chunk-local river pass (rivers.compute_for_chunk) applied instead of
+    the global carve."""
     hy = terrain.height_y(gx, gz, cfg, isl).astype(np.float64)
     river_mask = np.zeros(hy.shape, bool)
+    river_water = None
     if carve_rivers:
         hy, river_mask, _ = rivers.carve(hy, gs)
+    elif chunk_carve is not None:
+        depth, river_water = chunk_carve
+        hy = hy - np.floor(depth)
+        river_mask = depth > 0.0
     hy = np.clip(hy, 1, cfg.world_y - 2).astype(np.int64)
     slope = terrain.slope01(gx, gz, cfg, isl)
     wy = terrain.local_water_y(gx, gz, cfg, isl)
     # River columns carry water at their carved surface.
-    wy = np.where(river_mask, np.maximum(wy, hy + 1), wy)
+    if river_water is not None:
+        wy = np.where(river_mask, np.maximum(wy, river_water), wy)
+    else:
+        wy = np.where(river_mask, np.maximum(wy, hy + 1), wy)
     bio = biome_mod.evaluate(gx, gz, hy, wy, cfg, gs)
     return hy, wy, slope, bio
 
@@ -107,8 +118,11 @@ def generate_chunk_cells(cx: int, cy: int, cz: int, cfg: WorldConfig,
                          gs: WorldGenSettings = WorldGenSettings()
                          ) -> Tuple[np.ndarray, np.ndarray, bool]:
     """Single-chunk generation (WorldGenerator.GenerateChunkCells,
-    WorldGenerator.cs:95-203): the same column pipeline without the global
-    river pass. Returns (blocks, meta, any_solid), each (C, C, C)."""
+    WorldGenerator.cs:95-203): the same column pipeline with CHUNK-LOCAL
+    rivers (RiverNetwork.ComputeForChunk) — D8 directions from global
+    heights via the halo, accumulation restricted to the chunk, so
+    live-streamed worlds get approximate local rivers exactly like the
+    reference's unsaved path. Returns (blocks, meta, any_solid)."""
     C = cfg.chunk_size
     W, H = cfg.world_x, cfg.world_z
     scale = (2.2 * isl.island_radius) / max(W, H)
@@ -116,8 +130,17 @@ def generate_chunk_cells(cx: int, cy: int, cz: int, cfg: WorldConfig,
     zs = np.arange(cz * C, (cz + 1) * C)
     gx = (xs[:, None] - W / 2) * scale + np.zeros((1, C))
     gz = (zs[None, :] - H / 2) * scale + np.zeros((C, 1))
+    # Chunk-local river pass over a 1-cell height halo.
+    xs_r = np.arange(cx * C - 1, (cx + 1) * C + 1)
+    zs_r = np.arange(cz * C - 1, (cz + 1) * C + 1)
+    gxr = (xs_r[:, None] - W / 2) * scale + np.zeros((1, len(zs_r)))
+    gzr = (zs_r[None, :] - H / 2) * scale + np.zeros((len(xs_r), 1))
+    hy_halo = terrain.height_y(gxr, gzr, cfg, isl).astype(np.float64)
+    chunk_carve = rivers.compute_for_chunk(hy_halo, 1, gs,
+                                           float(cfg.water_level))
     hy, wy, slope, bio = _column_fields(gx, gz, cfg, isl, gs,
-                                        carve_rivers=False)
+                                        carve_rivers=False,
+                                        chunk_carve=chunk_carve)
     blocks, meta = fill_columns(hy, wy, slope, bio, gx, gz, cfg, gs)
     y0 = cy * C
     cb = blocks[:, y0:y0 + C, :]
