@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bench_scene(name, scene, fb_w, fb_h, batch=30, n_batches=3):
+def bench_scene(name, scene, fb_w, fb_h, batch=120, n_batches=2):
     from yetanotherconsolegameengine_tpu.render.renderer import RaytraceRenderer
 
     r = RaytraceRenderer(scene, fb_w=fb_w, fb_h=fb_h, ss=1)
