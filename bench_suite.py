@@ -91,7 +91,13 @@ def main():
                 240, 135)
     bench_scene("Primitive showcase", SCENE_BUILDERS["primitives"](),
                 160, 90)
-    bench_scene("Voxel DDA room", SCENE_BUILDERS["voxel_test"](), 160, 90)
+    bench_scene("Voxel room (greedy-meshed)", SCENE_BUILDERS["voxel_test"](),
+                160, 90)
+    from yetanotherconsolegameengine_tpu.scene.voxel_scenes import (
+        build_voxel_test_scene)
+    bench_scene("Voxel DDA room (forced DDA)",
+                build_voxel_test_scene(merge="dda"), 160, 90,
+                batch=30, n_batches=2)
     bench_scene("Bunny mesh BVH", SCENE_BUILDERS["bunny"](), 160, 90,
                 batch=10, n_batches=2)
     # The BASELINE.md north star: a dragon-class mesh (~600k tris, the

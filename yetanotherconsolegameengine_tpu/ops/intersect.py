@@ -403,14 +403,20 @@ def intersect_triangles(tb, o, d, tmin, tmax) -> Hit:
 
 # -- whole scene --------------------------------------------------------------
 
-def intersect_scene(scene, o, d, tmin, tmax) -> Hit:
+def intersect_scene(scene, o, d, tmin, tmax, shadow: bool = False) -> Hit:
     """Nearest hit across every primitive table (the TPU `Scene.Hit`,
     cf. Scenes/Scene.cs:71-75).
 
     The cheap dense tables run FIRST and their running best-t feeds the
     mesh/voxel traversals as a per-ray tmax: a ray already stopped by the
     floor clips its BVH/cluster/DDA march at that depth — the biggest
-    single lever for rays that miss the hero geometry."""
+    single lever for rays that miss the hero geometry.
+
+    ``shadow=True`` marks an occlusion query: when every mesh material is
+    opaque (scene.mesh_all_opaque), the cluster traversal may return ANY
+    blocking hit instead of the nearest — transmittance zeroes on any
+    opaque blocker, and transparent primitives in OTHER tables still win
+    the nearest-t merge, so the transmittance march stays correct."""
     h = Hit.miss(o.shape[0])
     h = merge(h, intersect_spheres(scene.spheres, o, d, tmin, tmax))
     h = merge(h, intersect_boxes(scene.boxes, o, d, tmin, tmax))
@@ -425,8 +431,9 @@ def intersect_scene(scene, o, d, tmin, tmax) -> Hit:
         h = merge(h, intersect_mesh(scene.mesh, o, d, tmin, t_clip))
     if scene.mesh_clusters is not None:
         from .mesh_clusters import intersect_clusters
-        h = merge(h, intersect_clusters(scene.mesh_clusters, o, d, tmin,
-                                        t_clip))
+        h = merge(h, intersect_clusters(
+            scene.mesh_clusters, o, d, tmin, t_clip,
+            any_hit=bool(shadow and scene.mesh_all_opaque)))
     if scene.voxels is not None:
         from .dda import intersect_voxels
         t_clip = jnp.minimum(t_clip, h.t + 1e-3)

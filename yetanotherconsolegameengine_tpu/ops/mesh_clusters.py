@@ -261,7 +261,7 @@ def _tile_cull(o_t, d_t, act_t, tmax_t, cbmin, cbmax):
 # ---------------------------------------------------------------------------
 
 def _trace_kernel(lens_smem, lists_hbm, gmat_hbm, rays_ref, out_ref,
-                  lst, gbuf, sem_l, sem_g):
+                  lst, gbuf, sem_l, sem_g, *, any_hit=False):
     T = TILE
     i = pl.program_id(0)
     n = lens_smem[i]
@@ -382,12 +382,18 @@ def _trace_kernel(lens_smem, lists_hbm, gmat_hbm, rays_ref, out_ref,
         # exceeds every ray's current best, nothing can improve. The
         # maxbest bound is refreshed once per EXIT_CHUNK visits: the (1, T)
         # max-reduce costs ~20% of a visit, so per-visit checking loses
-        # more than it saves.
+        # more than it saves. In ANY-HIT mode (opaque shadow queries) a
+        # ray with any hit stops constraining the bound entirely, so fully
+        # shadowed tiles exit after their first blocking cluster.
         j, best_packed, best_cid = st
         if DISABLE_EARLY_EXIT:
             return j < n
-        return (j < n) & (lst[1, jnp.minimum(j, Cp - 1)]
-                          < jnp.max(best_packed))
+        if any_hit:
+            bound = jnp.max(jnp.where(best_cid >= 0,
+                                      jnp.int32(-0x80000000), best_packed))
+        else:
+            bound = jnp.max(best_packed)
+        return (j < n) & (lst[1, jnp.minimum(j, Cp - 1)] < bound)
 
     def chunk(st):
         j, best_packed, best_cid = st
@@ -415,11 +421,12 @@ def _trace_kernel(lens_smem, lists_hbm, gmat_hbm, rays_ref, out_ref,
     out_ref[3:4, :] = jnp.broadcast_to(n, (1, T))     # list length
 
 
-def _run_kernel(lens, lists, gmat, rays, n_tiles, interpret=False):
+def _run_kernel(lens, lists, gmat, rays, n_tiles, interpret=False,
+                any_hit=False):
     T = TILE
     Cp = lists.shape[2]
     return pl.pallas_call(
-        _trace_kernel,
+        functools.partial(_trace_kernel, any_hit=any_hit),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # lens (n_tiles,)
@@ -465,9 +472,10 @@ def _sort_keys(o, d, active, bounds):
     return jnp.where(active, key, jnp.int32(1 << 29))
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "stats"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "stats", "any_hit"))
 def _intersect_impl(mc: MeshClusters, o, d, t_lo, t_hi, interpret=False,
-                    stats=False):
+                    stats=False, any_hit=False):
     P = o.shape[0]
     T = TILE
     Pp = ((P + T - 1) // T) * T
@@ -532,7 +540,7 @@ def _intersect_impl(mc: MeshClusters, o, d, t_lo, t_hi, interpret=False,
     rays = rays.transpose(2, 0, 1).reshape(4, n_tiles * 3 * T)
 
     out = _run_kernel(lens, lists, mc.gmat, rays, n_tiles,
-                      interpret=interpret)             # (4, n_tiles*T)
+                      interpret=interpret, any_hit=any_hit)
 
     # Unsort the two winner words (scatter by sidx), then resolve
     # attributes in original ray order.
@@ -578,14 +586,18 @@ def _intersect_impl(mc: MeshClusters, o, d, t_lo, t_hi, interpret=False,
 
 
 def intersect_clusters(mc: MeshClusters, o, d, tmin, tmax,
-                       interpret: bool = None) -> Hit:
-    """Nearest-hit over the cluster tables. o/d: (P, 3); tmin/tmax scalar
+                       interpret: bool = None, any_hit: bool = False) -> Hit:
+    """Hit query over the cluster tables. o/d: (P, 3); tmin/tmax scalar
     or (P,). Matches intersect_mesh semantics (double-sided, normal flipped
     against the ray). ``interpret=None`` auto-selects the Pallas
-    interpreter off-TPU (CPU CI)."""
+    interpreter off-TPU (CPU CI). ``any_hit=True`` (valid only when every
+    mesh material is opaque) returns SOME blocking hit per ray instead of
+    the nearest: shadow transmittance zeroes on any opaque blocker, and
+    fully shadowed tiles then exit after their first blocking cluster."""
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
     P = o.shape[0]
     t_lo = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (P,))
     t_hi = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (P,))
-    return _intersect_impl(mc, o, d, t_lo, t_hi, interpret=interpret)
+    return _intersect_impl(mc, o, d, t_lo, t_hi, interpret=interpret,
+                           any_hit=any_hit)

@@ -48,10 +48,11 @@ from .ansi import CUBE_SRGB
 _K5 = (1.0 / 16.0, 1.0 / 4.0, 3.0 / 8.0, 1.0 / 4.0, 1.0 / 16.0)
 
 # VMEM budget gate: planes are hi_w*hi_h f32; ~25 live planes plus compiler
-# temporaries must fit 16 MB. 70k pixels covers every cell-resolution
-# BASELINE config (240x135 cells = 64.8k traced px); supersampled buffers
-# fall back to the XLA stages.
-MAX_FUSED_PIXELS = 70_000
+# temporaries must fit the 16 MB scoped-VMEM stack. 64.8k px (240x135
+# cells) measured 18.17 MB on v5e — OOM — so the fused program is capped
+# at ~40k px (160x90 cells = 28.8k: 8.1 MB); larger grids and
+# supersampled buffers take the XLA post stages.
+MAX_FUSED_PIXELS = 40_000
 
 
 def post_fuse_ok(hi_w: int, hi_h: int) -> bool:

@@ -100,7 +100,7 @@ def transmittance_to_lights(scene, so, sd, max_dist, need, cfg: RenderConfig):
     so = jnp.where(need[:, None], so, jnp.float32(2.9e30))
     if scene.binary_shadows:
         def occluded(_):
-            h = intersect_scene(scene, so, sd, 1e-3, max_dist)
+            h = intersect_scene(scene, so, sd, 1e-3, max_dist, shadow=True)
             return jnp.where(h.hit[:, None], 0.0, jnp.ones_like(so))
 
         trans = jax.lax.cond(jnp.any(need), occluded,
@@ -112,7 +112,7 @@ def transmittance_to_lights(scene, so, sd, max_dist, need, cfg: RenderConfig):
 
     def body(st):
         rays = st["rays"] + jnp.sum((need & ~st["done"]).astype(jnp.int32))
-        h = intersect_scene(scene, so, sd, st["tmin"], max_dist)
+        h = intersect_scene(scene, so, sd, st["tmin"], max_dist, shadow=True)
         m = gather_material(scene.materials, h.mat)
         done = st["done"]
         trans = st["trans"]

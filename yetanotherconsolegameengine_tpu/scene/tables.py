@@ -179,6 +179,11 @@ class SceneData:
     binary_shadows: bool = dataclasses.field(metadata=dict(static=True))
     has_dynamic_textures: bool = dataclasses.field(metadata=dict(static=True))
     defaults: Tuple[float, ...] = dataclasses.field(metadata=dict(static=True))
+    # Every mesh-triangle material fully opaque? Lets shadow queries run the
+    # cluster traversal in ANY-HIT mode (a blocking opaque hit zeroes the
+    # transmittance regardless of which one is nearest).
+    mesh_all_opaque: bool = dataclasses.field(default=True,
+                                              metadata=dict(static=True))
 
     @property
     def default_pose(self):
@@ -392,6 +397,9 @@ class SceneBuilder:
                       for t in self.textures]
             textures = jnp.asarray(np.stack(padded))
 
+        mesh_all_opaque = all(
+            self.bank._mats[mid].transparency <= 0.0
+            for _, mid in self._mesh_tris) if self._mesh_tris else True
         return SceneData(
             materials=self.bank.build(),
             spheres=spheres, boxes=boxes, rects=rects, cylinders=cylinders,
@@ -408,4 +416,5 @@ class SceneBuilder:
             has_dynamic_textures=self.has_dynamic_textures,
             defaults=(*(float(x) for x in self.default_pos),
                       self.default_yaw, self.default_pitch, self.default_fov),
+            mesh_all_opaque=mesh_all_opaque,
         )
