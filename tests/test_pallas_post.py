@@ -67,5 +67,8 @@ def test_fused_frame_matches_xla_frame():
 
 def test_fused_post_gate():
     assert pallas_post.post_fuse_ok(160, 180)
-    assert pallas_post.post_fuse_ok(240, 270)
-    assert not pallas_post.post_fuse_ok(480, 540)  # ss=2 falls back
+    # 240x270 (64.8k px) measured 18.17 MB of scoped VMEM on v5e — over
+    # the 16 MB stack — so it must fall back to the XLA stages, as must
+    # supersampled buffers.
+    assert not pallas_post.post_fuse_ok(240, 270)
+    assert not pallas_post.post_fuse_ok(480, 540)

@@ -460,15 +460,20 @@ def _morton3(q: jax.Array, bits: int) -> jax.Array:
 
 
 def _sort_keys(o, d, active, bounds):
-    """Direction-octant-major, origin-Morton-minor binning keys. Stable
-    argsort keeps the (already image-coherent) original order within equal
-    keys, so primary rays stay in pixel-block order for free."""
+    """Direction-octant-major, origin-Morton, then direction-Morton binning
+    keys. Stable argsort keeps the (already image-coherent) original order
+    within equal keys, so primary rays stay in pixel-block order for free.
+    The direction sub-bits matter for BOUNCE populations: rays leaving a
+    surface patch in similar directions share a tight frustum, which is
+    what keeps the per-tile candidate unions short (incoherent bounce
+    sweeps measured 3x the primary cost without them)."""
     oct_ = (((d[:, 0] < 0).astype(jnp.int32))
             | ((d[:, 1] < 0).astype(jnp.int32) << 1)
             | ((d[:, 2] < 0).astype(jnp.int32) << 2))
     span = jnp.maximum(bounds[1] - bounds[0], 1e-6)
     q = jnp.clip(((o - bounds[0]) / span * 31.0), 0.0, 31.0).astype(jnp.int32)
-    key = (oct_ << 15) | _morton3(q, 5)
+    dq = jnp.clip(jnp.abs(d) * 3.999, 0.0, 3.0).astype(jnp.int32)
+    key = (oct_ << 21) | (_morton3(q, 5) << 6) | _morton3(dq, 2)
     return jnp.where(active, key, jnp.int32(1 << 29))
 
 
