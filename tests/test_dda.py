@@ -129,3 +129,24 @@ def test_voxel_scene_end_to_end():
     )(scene, scene.default_pose, state)
     top = np.asarray(out.top_rgb)
     assert np.isfinite(top).all() and top.max() > 0.0
+
+
+def test_greedy_mesh_boxes_exact_cover():
+    """The greedy mesher must cover every solid cell exactly once with
+    same-(block, meta) boxes (the voxel_test room rides the megakernel on
+    the strength of this decomposition)."""
+    from yetanotherconsolegameengine_tpu.scene.voxel_scenes import (
+        greedy_mesh_boxes)
+
+    rng = np.random.RandomState(3)
+    blocks = (rng.rand(9, 7, 8) < 0.35).astype(np.int32) * \
+        rng.randint(1, 4, size=(9, 7, 8))
+    meta = rng.randint(0, 3, size=blocks.shape)
+    boxes = greedy_mesh_boxes(blocks, meta)
+    cover = np.zeros(blocks.shape, np.int32)
+    for (lo, hi, b, m) in boxes:
+        sl = tuple(slice(a, c) for a, c in zip(lo, hi))
+        cover[sl] += 1
+        assert (blocks[sl] == b).all()
+        assert ((meta[sl] % 5) == m).all()
+    assert (cover == (blocks > 0).astype(np.int32)).all()
