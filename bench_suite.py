@@ -27,10 +27,10 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bench_scene(name, scene, fb_w, fb_h, batch=120, n_batches=2):
+def bench_scene(name, scene, fb_w, fb_h, batch=120, n_batches=2, ss=1):
     from yetanotherconsolegameengine_tpu.render.renderer import RaytraceRenderer
 
-    r = RaytraceRenderer(scene, fb_w=fb_w, fb_h=fb_h, ss=1)
+    r = RaytraceRenderer(scene, fb_w=fb_w, fb_h=fb_h, ss=ss)
     grids, out = r.render_many(batch)
     _sync(grids[0])
     rays = int(out.rays_traced)
