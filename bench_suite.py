@@ -89,6 +89,9 @@ def main():
     bench_scene("Cornell Box", SCENE_BUILDERS["cornell"](), 160, 90)
     bench_scene("Mirror spheres + TAA", SCENE_BUILDERS["mirror_spheres"](),
                 240, 135)
+    bench_scene("Mirror spheres ss=2 (4x rays)",
+                SCENE_BUILDERS["mirror_spheres"](), 240, 135, batch=60,
+                ss=2)
     bench_scene("Primitive showcase", SCENE_BUILDERS["primitives"](),
                 160, 90)
     bench_scene("Voxel room (greedy-meshed)", SCENE_BUILDERS["voxel_test"](),
