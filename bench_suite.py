@@ -15,6 +15,7 @@ import json
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -23,8 +24,6 @@ def _sync(x):
     on the axon-tunneled TPU backend (see bench.py); a 1-element dependent
     readback does."""
     np.asarray(x[-1, 0, 0] if getattr(x, "ndim", 0) >= 3 else x)
-import jax.numpy as jnp
-import numpy as np
 
 
 def bench_scene(name, scene, fb_w, fb_h, batch=120, n_batches=2, ss=1):

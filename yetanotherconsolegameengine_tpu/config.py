@@ -44,6 +44,14 @@ class RenderConfig:
     # Oren–Nayar roughness (RaytraceRenderer.cs:65)
     diffuse_sigma_deg: float = 25.0
 
+    # Secondary-ray mesh LOD (deliberate TPU-first deviation: the reference
+    # traces every population against the full MeshBVH). When a scene
+    # carries a low-poly proxy cluster set (scene/lod.py), shadow and
+    # bounce sweeps trace it instead of the full mesh — soft quantities
+    # only, visually indistinguishable at terminal resolutions, and the
+    # defining lever for incoherent-sweep cost on ~600k-tri meshes.
+    secondary_mesh_lod: bool = True
+
     # Tone mapping (ToneMapper.cs:8-21)
     tone_exposure: float = 1.0
     tone_gamma: float = 2.2

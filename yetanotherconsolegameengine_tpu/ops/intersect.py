@@ -403,7 +403,8 @@ def intersect_triangles(tb, o, d, tmin, tmax) -> Hit:
 
 # -- whole scene --------------------------------------------------------------
 
-def intersect_scene(scene, o, d, tmin, tmax, shadow: bool = False) -> Hit:
+def intersect_scene(scene, o, d, tmin, tmax, shadow: bool = False,
+                    lod: bool = False) -> Hit:
     """Nearest hit across every primitive table (the TPU `Scene.Hit`,
     cf. Scenes/Scene.cs:71-75).
 
@@ -416,7 +417,14 @@ def intersect_scene(scene, o, d, tmin, tmax, shadow: bool = False) -> Hit:
     opaque (scene.mesh_all_opaque), the cluster traversal may return ANY
     blocking hit instead of the nearest — transmittance zeroes on any
     opaque blocker, and transparent primitives in OTHER tables still win
-    the nearest-t merge, so the transmittance march stays correct."""
+    the nearest-t merge, so the transmittance march stays correct.
+
+    ``lod=True`` marks a SECONDARY population (shadow or bounce rays):
+    when the scene carries a low-poly proxy cluster set
+    (scene.mesh_clusters_lod, built by scene/lod.py for big meshes), the
+    mesh sweep traces it instead of the full set, with tmin clamped past
+    the proxy's surface-deviation bias so origins on the full surface
+    never self-shadow against the displaced proxy skin."""
     h = Hit.miss(o.shape[0])
     h = merge(h, intersect_spheres(scene.spheres, o, d, tmin, tmax))
     h = merge(h, intersect_boxes(scene.boxes, o, d, tmin, tmax))
@@ -431,8 +439,15 @@ def intersect_scene(scene, o, d, tmin, tmax, shadow: bool = False) -> Hit:
         h = merge(h, intersect_mesh(scene.mesh, o, d, tmin, t_clip))
     if scene.mesh_clusters is not None:
         from .mesh_clusters import intersect_clusters
+        mc = scene.mesh_clusters
+        lod_set = getattr(scene, "mesh_clusters_lod", None)
+        mc_tmin = tmin
+        if lod and lod_set is not None:
+            mc = lod_set
+            mc_tmin = jnp.maximum(jnp.asarray(tmin, jnp.float32),
+                                  jnp.float32(mc.t_bias))
         h = merge(h, intersect_clusters(
-            scene.mesh_clusters, o, d, tmin, t_clip,
+            mc, o, d, mc_tmin, t_clip,
             any_hit=bool(shadow and scene.mesh_all_opaque)))
     if scene.voxels is not None:
         from .dda import intersect_voxels

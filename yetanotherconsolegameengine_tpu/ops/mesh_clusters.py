@@ -78,6 +78,11 @@ class MeshClusters:
     gmat: jax.Array      # (C, 8, 3*KC) Woop blocks (rows 4-7 zero pad)
     tri_rows: jax.Array  # (C*KC, 16): a(3) e1(3) e2(3) n(3) mat 0 0 0
     bounds: jax.Array    # (2, 3) global mesh AABB (for ray-sort Morton keys)
+    # Self-intersection guard for LOD proxy sets (scene/lod.py): the proxy
+    # surface deviates from the true surface by up to this distance, so
+    # secondary rays originating on the FULL mesh clamp tmin to it.
+    t_bias: float = dataclasses.field(default=0.0,
+                                      metadata=dict(static=True))
 
     @property
     def n_clusters(self) -> int:
@@ -107,7 +112,7 @@ def _woop_rows(a: np.ndarray, b: np.ndarray, c: np.ndarray):
 
 
 def build_clusters(a: np.ndarray, b: np.ndarray, c: np.ndarray,
-                   mat: np.ndarray) -> MeshClusters:
+                   mat: np.ndarray, t_bias: float = 0.0) -> MeshClusters:
     """Spatial-sort + consecutive-KC packing host build."""
     a = np.asarray(a, np.float32)
     b = np.asarray(b, np.float32)
@@ -178,7 +183,7 @@ def build_clusters(a: np.ndarray, b: np.ndarray, c: np.ndarray,
     return MeshClusters(
         cbmin=jnp.asarray(cbmin), cbmax=jnp.asarray(cbmax),
         gmat=jnp.asarray(gmat), tri_rows=jnp.asarray(tri_rows),
-        bounds=jnp.asarray(bounds))
+        bounds=jnp.asarray(bounds), t_bias=float(t_bias))
 
 
 # ---------------------------------------------------------------------------

@@ -87,12 +87,14 @@ def oren_nayar(albedo, n, wo, wi, sigma_rad: float):
     return jnp.where(zero[..., None], 0.0, jnp.clip(f, 0.0, 1.0))
 
 
-def transmittance_to_lights(scene, so, sd, max_dist, need, cfg: RenderConfig):
+def transmittance_to_lights(scene, so, sd, max_dist, need, cfg: RenderConfig,
+                            lod: bool = False):
     """Colored transmittance along shadow rays, or binary occlusion for voxel
     worlds (RaytraceRenderer.ComputeTransmittanceToLight, :757-798).
 
     so/sd: (R, 3) shadow rays; max_dist: (R,); ``need`` marks lanes whose
-    result is semantically used.
+    result is semantically used. ``lod`` routes the mesh sweep through the
+    secondary-ray proxy set when the scene has one.
     Returns ((R, 3) transmittance, traced-ray count).
     """
     # Un-needed lanes get far-away origins so the BVH/DDA inner compaction
@@ -100,7 +102,8 @@ def transmittance_to_lights(scene, so, sd, max_dist, need, cfg: RenderConfig):
     so = jnp.where(need[:, None], so, jnp.float32(2.9e30))
     if scene.binary_shadows:
         def occluded(_):
-            h = intersect_scene(scene, so, sd, 1e-3, max_dist, shadow=True)
+            h = intersect_scene(scene, so, sd, 1e-3, max_dist, shadow=True,
+                                lod=lod)
             return jnp.where(h.hit[:, None], 0.0, jnp.ones_like(so))
 
         trans = jax.lax.cond(jnp.any(need), occluded,
@@ -112,7 +115,8 @@ def transmittance_to_lights(scene, so, sd, max_dist, need, cfg: RenderConfig):
 
     def body(st):
         rays = st["rays"] + jnp.sum((need & ~st["done"]).astype(jnp.int32))
-        h = intersect_scene(scene, so, sd, st["tmin"], max_dist, shadow=True)
+        h = intersect_scene(scene, so, sd, st["tmin"], max_dist, shadow=True,
+                            lod=lod)
         m = gather_material(scene.materials, h.mat)
         done = st["done"]
         trans = st["trans"]
@@ -152,6 +156,8 @@ def trace_all(scene, o0, d0, rng0, cfg: RenderConfig) -> TraceResult:
     P = o0.shape[0]
     S = cfg.path_stack_size
     sigma_rad = cfg.diffuse_sigma_deg * math.pi / 180.0
+    use_lod = (cfg.secondary_mesh_lod
+               and getattr(scene, "mesh_clusters_lod", None) is not None)
     f3 = lambda: jnp.zeros((P, 3), jnp.float32)
 
     state = dict(
@@ -202,7 +208,18 @@ def trace_all(scene, o0, d0, rng0, cfg: RenderConfig) -> TraceResult:
         # round (the dominant cost on mesh/voxel scenes once most paths
         # have terminated).
         o_q = jnp.where(active[:, None], o, jnp.float32(2.9e30))
-        hit = intersect_scene(scene, o_q, d, 1e-3, INF)
+        if use_lod:
+            # Round 0 is the (coherent) primary sweep over the full mesh;
+            # every later round's actives are secondary rays and trace the
+            # proxy set. Both branches compile once; one runs per round.
+            hit = jax.lax.cond(
+                st["round"] == 0,
+                lambda oq, dd: intersect_scene(scene, oq, dd, 1e-3, INF),
+                lambda oq, dd: intersect_scene(scene, oq, dd, 1e-3, INF,
+                                               lod=True),
+                o_q, d)
+        else:
+            hit = intersect_scene(scene, o_q, d, 1e-3, INF)
         m = gather_material(scene.materials, hit.mat)
         p = o + hit.t[:, None] * d
         uv = jnp.stack([hit.u, hit.v], axis=-1)
@@ -284,7 +301,7 @@ def trace_all(scene, o0, d0, rng0, cfg: RenderConfig) -> TraceResult:
             sd = ldir.reshape(P * L, 3)
             trans, shadow_rays = transmittance_to_lights(
                 scene, so, sd, (dist - _EPS).reshape(P * L),
-                need.reshape(P * L), cfg)
+                need.reshape(P * L), cfg, lod=use_lod)
             trans = trans.reshape(P, L, 3)
             st["rays"] = st["rays"] + shadow_rays
 

@@ -28,6 +28,12 @@ from .materials import Material, MaterialBank, MaterialTable
 # it the per-ray walk is competitive and CPU-test-friendly.
 CLUSTER_MIN_TRIS = 16384
 
+# Secondary-ray LOD proxy budget (scene/lod.py): cluster meshes whose
+# vertex-clustered simplification lands under this AND achieves >= 4x
+# reduction get a proxy set that shadow/bounce sweeps trace instead of the
+# full mesh.
+LOD_TARGET_TRIS = 49152
+
 
 def _pad_rows(arr: np.ndarray, n: int) -> np.ndarray:
     pad = [(0, n - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
@@ -184,6 +190,10 @@ class SceneData:
     # transmittance regardless of which one is nearest).
     mesh_all_opaque: bool = dataclasses.field(default=True,
                                               metadata=dict(static=True))
+    # Low-poly proxy cluster set for SECONDARY rays (shadow / bounce
+    # populations, scene/lod.py); None when the mesh is small enough that
+    # the full set is cheap. Selection happens in ops/trace.py.
+    mesh_clusters_lod: Optional[Any] = None
 
     @property
     def default_pose(self):
@@ -370,6 +380,7 @@ class SceneBuilder:
 
         mesh = None
         mesh_clusters = None
+        mesh_clusters_lod = None
         if self._mesh_tris:
             tris = np.concatenate(
                 [np.asarray(t, f32).reshape(-1, 3, 3)
@@ -385,6 +396,18 @@ class SceneBuilder:
                 # LEAF_K=4 would dominate scene construction.
                 from ..ops.mesh_clusters import build_clusters
                 mesh_clusters = build_clusters(a, b, c, mat_ids)
+                # Secondary-ray proxy: incoherent shadow/bounce sweeps cost
+                # ~C per ray tile, so a vertex-clustered low-poly set cuts
+                # them by the reduction factor (scene/lod.py has the why).
+                from .lod import simplify_soup
+                target = min(LOD_TARGET_TRIS,
+                             max(8192, tris.shape[0] // 4))
+                lod_tris, lod_mats, t_bias = simplify_soup(
+                    tris, mat_ids, target)
+                if lod_tris.shape[0] <= tris.shape[0] // 4:
+                    mesh_clusters_lod = build_clusters(
+                        lod_tris[:, 0], lod_tris[:, 1], lod_tris[:, 2],
+                        lod_mats, t_bias=t_bias)
             else:
                 from ..ops.mesh_bvh import build_mesh_bvh
                 mesh = build_mesh_bvh(a, b, c, mat_ids)
@@ -405,6 +428,7 @@ class SceneBuilder:
             spheres=spheres, boxes=boxes, rects=rects, cylinders=cylinders,
             disks=disks, planes=planes, triangles=triangles,
             mesh=mesh, mesh_clusters=mesh_clusters,
+            mesh_clusters_lod=mesh_clusters_lod,
             voxels=self.voxels, lights=lights,
             ambient_color=jnp.asarray(self.ambient_color, jnp.float32),
             ambient_intensity=jnp.asarray(self.ambient_intensity, jnp.float32),

@@ -26,8 +26,28 @@ import numpy as np
 _REGISTRY: Dict[str, List[Tuple[int, object]]] = {}
 
 
+def _close(reader) -> None:
+    close = getattr(reader, "close", None)
+    if close:
+        try:
+            close()
+        except Exception:
+            pass
+
+
 def register(scene_name: str, tex_id: int, reader) -> None:
-    _REGISTRY.setdefault(scene_name, []).append((tex_id, reader))
+    """Bind ``reader`` to (scene, slot). Rebuilding a scene under the same
+    name replaces (and closes) any stale reader for that slot — otherwise
+    repeated builds in one process leak ffmpeg subprocesses and the
+    renderer keeps polling/uploading dead readers every frame."""
+    entries = _REGISTRY.setdefault(scene_name, [])
+    for i, (tid, old) in enumerate(entries):
+        if tid == tex_id:
+            if old is not reader:
+                _close(old)
+            entries[i] = (tex_id, reader)
+            return
+    entries.append((tex_id, reader))
 
 
 def readers_for(scene_name: str):
@@ -36,12 +56,7 @@ def readers_for(scene_name: str):
 
 def unregister_scene(scene_name: str) -> None:
     for _, reader in _REGISTRY.pop(scene_name, ()):
-        close = getattr(reader, "close", None)
-        if close:
-            try:
-                close()
-            except Exception:
-                pass
+        _close(reader)
 
 
 def frame_to_texture(frame: np.ndarray) -> np.ndarray:

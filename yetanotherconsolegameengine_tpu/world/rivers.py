@@ -69,8 +69,7 @@ def flow_accumulation(height: np.ndarray, fdir: np.ndarray) -> np.ndarray:
 
 
 def compute_for_chunk(height_halo: np.ndarray, pad: int,
-                      gs: WorldGenSettings, sea_level: float,
-                      water_depth: float = 2.0):
+                      gs: WorldGenSettings, sea_level: float):
     """Chunk-local rivers (RiverNetwork.ComputeForChunk, RiverNetwork.cs:
     14-116): D8 directions from GLOBAL heights (the halo provides the
     out-of-chunk neighbors), but accumulation restricted to the chunk's
@@ -113,8 +112,11 @@ def compute_for_chunk(height_halo: np.ndarray, pad: int,
                                 np.maximum(0.0, t) * gs.river_carve_depth),
                      0.0)
     bed = hi - np.floor(depth)
-    water_y = np.where(depth > 0.0,
-                       np.maximum(sea_level, bed + np.ceil(water_depth)),
+    # Water sits at the carved surface + 1 — the same convention the
+    # global carve path uses (worldgen.py: wy = max(wy, hy + 1)), so
+    # live-streamed chunks and globally generated worlds agree on the
+    # river water level.
+    water_y = np.where(depth > 0.0, np.maximum(sea_level, bed + 1.0),
                        sea_level)
     return depth, water_y
 
