@@ -1,14 +1,21 @@
-"""Full benchmark suite: the five BASELINE.json configs on one TPU chip.
+"""Full benchmark suite: every BASELINE.json config on one TPU chip.
 
     python bench_suite.py            # all configs, one JSON line each
 
-1. Cornell Box @160x90 (bench.py's headline config)
-2. Mirror spheres on checker @240x135 with reflections + TAA
-3. Primitive showcase (cylinders/disks/triangles/boxes, full shading)
-4. Voxel DDA scene (volume-grid test room)
-5. Bunny mesh with BVH traversal + on-device LBVH rebuild timing
+Two numbers per config, one methodology (matching bench.py):
 
-Frames run through render_many (lax.scan over the real frame step).
+- ``fps`` / ``mrays_per_s``: SUSTAINED device throughput — frames run as
+  lax.scan batches over the real frame step (render_many), so the ~7-25 ms
+  axon-tunnel dispatch latency amortizes away. This is the chip's number.
+- ``interactive_fps``: the per-dispatch app loop (render() with one frame
+  in flight, previous frame synced each iteration — exactly the engine's
+  pipelining), which the tunnel latency bounds. This is the terminal UX
+  number on THIS host; on a directly-attached TPU it approaches the
+  sustained number at small resolutions.
+
+Dynamic scenes (per-frame scene mutation: spinning mesh LBVH rebuild,
+streamed voxel world) cannot ride one scan, so they report interactive
+numbers only.
 """
 
 import json
@@ -26,7 +33,22 @@ def _sync(x):
     np.asarray(x[-1, 0, 0] if getattr(x, "ndim", 0) >= 3 else x)
 
 
-def bench_scene(name, scene, fb_w, fb_h, batch=120, n_batches=2, ss=1):
+def _interactive_fps(render_fn, n=24, warmup=4):
+    """Per-dispatch loop with one frame in flight (the engine's pattern:
+    dispatch frame N, sync frame N-1)."""
+    prev = None
+    for _ in range(warmup):
+        prev = render_fn()
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = render_fn()
+        np.asarray(prev.fg_ansi)
+        prev = out
+    np.asarray(prev.fg_ansi)
+    return n / (time.perf_counter() - t0)
+
+
+def bench_scene(name, scene, fb_w, fb_h, batch=300, n_batches=2, ss=1):
     from yetanotherconsolegameengine_tpu.render.renderer import RaytraceRenderer
 
     r = RaytraceRenderer(scene, fb_w=fb_w, fb_h=fb_h, ss=ss)
@@ -39,20 +61,48 @@ def bench_scene(name, scene, fb_w, fb_h, batch=120, n_batches=2, ss=1):
     _sync(grids[0])
     dt = (time.perf_counter() - t0) / (n_batches * batch)
     fps = 1.0 / dt
+    ifps = _interactive_fps(r.render)
     print(json.dumps({
         "metric": f"{name} @{fb_w}x{fb_h} ({rays} rays/frame)",
         "fps": round(fps, 1),
         "mrays_per_s": round(rays * fps / 1e6, 2),
+        "interactive_fps": round(ifps, 1),
         "pallas": r._hs is not None,
-    }))
+    }), flush=True)
     return fps
+
+
+def bench_dynamic(name, make_frame_scene, fb_w, fb_h, n=24):
+    """Interactive-only config: ``make_frame_scene(t)`` returns the scene
+    for time t (per-frame mutation defeats the scan path by design)."""
+    from yetanotherconsolegameengine_tpu.render.renderer import RaytraceRenderer
+
+    r = RaytraceRenderer(make_frame_scene(0.0), fb_w=fb_w, fb_h=fb_h, ss=1,
+                         use_pallas=False)
+    clock = [0.0]
+
+    def render():
+        clock[0] += 1.0 / 30.0
+        r.scene = make_frame_scene(clock[0])
+        return r.render()
+
+    ifps = _interactive_fps(render, n=n)
+    out = r.render()
+    rays = int(out.rays_traced)
+    print(json.dumps({
+        "metric": f"{name} @{fb_w}x{fb_h} ({rays} rays/frame)",
+        "interactive_fps": round(ifps, 1),
+        "pallas": False,
+    }), flush=True)
+    return ifps
 
 
 def bench_lbvh_rebuild():
     """On-device LBVH rebuild throughput (the scene-switch/geometry-dirty
-    path, BASELINE config #5)."""
+    path, BASELINE config #5). This same build now runs in production at
+    scene construction (scene/tables.py) and per frame in the
+    spinning_mesh scene (scene/entities.SpinningMeshEntity)."""
     from yetanotherconsolegameengine_tpu.ops.lbvh import build_lbvh
-    from yetanotherconsolegameengine_tpu.ops.mesh_bvh import intersect_mesh
     from yetanotherconsolegameengine_tpu.scene.mesh_loader import (
         find_asset, load_obj, make_knot)
 
@@ -62,24 +112,31 @@ def bench_lbvh_rebuild():
     v = jnp.asarray(tris)
     mats = jnp.zeros(T, jnp.int32)
 
-    @jax.jit
-    def rebuild(verts):
-        bvh = build_lbvh(verts[:, 0], verts[:, 1], verts[:, 2], mats)
-        return bvh.bmin[0]  # force materialization
+    def run(n):
+        # n rebuilds chained inside ONE jit (scan-difference, see bench.py:
+        # per-call eager timing measures the ~7-25 ms tunnel dispatch, not
+        # the build).
+        @jax.jit
+        def f(verts):
+            def body(c, _):
+                bvh = build_lbvh(verts[:, 0] + c * 1e-7, verts[:, 1],
+                                 verts[:, 2], mats)
+                return bvh.bmin[0, 0] * 1e-9, None
+            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
+            return c
+        float(f(v))
+        t0 = time.perf_counter()
+        float(f(v))
+        return time.perf_counter() - t0
 
-    r = rebuild(v)
-    jax.block_until_ready(r)
-    n = 20
-    t0 = time.perf_counter()
-    for _ in range(n):
-        r = rebuild(v)
-    jax.block_until_ready(r)
-    dt = (time.perf_counter() - t0) / n
+    t1 = run(1)
+    t9 = run(9)
+    dt = (t9 - t1) / 8
     print(json.dumps({
         "metric": f"on-device LBVH rebuild ({T} tris)",
         "ms": round(dt * 1000, 3),
         "mtris_per_s": round(T / dt / 1e6, 2),
-    }))
+    }), flush=True)
 
 
 def main():
@@ -89,7 +146,7 @@ def main():
     bench_scene("Mirror spheres + TAA", SCENE_BUILDERS["mirror_spheres"](),
                 240, 135)
     bench_scene("Mirror spheres ss=2 (4x rays)",
-                SCENE_BUILDERS["mirror_spheres"](), 240, 135, batch=60,
+                SCENE_BUILDERS["mirror_spheres"](), 240, 135, batch=100,
                 ss=2)
     bench_scene("Primitive showcase", SCENE_BUILDERS["primitives"](),
                 160, 90)
@@ -99,14 +156,28 @@ def main():
         build_voxel_test_scene)
     bench_scene("Voxel DDA room (forced DDA)",
                 build_voxel_test_scene(merge="dda"), 160, 90,
-                batch=30, n_batches=2)
+                batch=60, n_batches=2)
     bench_scene("Bunny mesh BVH", SCENE_BUILDERS["bunny"](), 160, 90,
-                batch=10, n_batches=2)
+                batch=30, n_batches=2)
     # The BASELINE.md north star: a dragon-class mesh (~600k tris, the
     # procedural stand-in for the missing xyzrgb_dragon.obj) at the
     # reference's 240x135 cell geometry.
     bench_scene("Dragon mesh (598k tris)", SCENE_BUILDERS["dragon"](),
-                240, 135, batch=10, n_batches=2)
+                240, 135, batch=30, n_batches=2)
+
+    # Dynamic configs (per-frame scene mutation; interactive only).
+    from yetanotherconsolegameengine_tpu.scene.showcase_scenes import (
+        build_spinning_mesh)
+    dyn = build_spinning_mesh()
+    bench_dynamic("Spinning mesh (per-frame device LBVH rebuild)",
+                  dyn.at_time, 160, 90)
+
+    from yetanotherconsolegameengine_tpu.world.volume_scene import (
+        build_minecraft_like)
+    vs = build_minecraft_like()
+    bench_dynamic("Minecraft-like streamed island (DDA)",
+                  lambda t: vs.update(1.0 / 30.0), 160, 90, n=12)
+
     bench_lbvh_rebuild()
 
 

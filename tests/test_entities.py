@@ -89,3 +89,36 @@ def test_exhibit_ring_renders_two_frames():
     s1 = ring.update(1 / 30)
     out2, state = step(s1, s1.default_pose, state)
     assert np.isfinite(np.asarray(out2.top_rgb)).all()
+
+
+def test_spinning_mesh_rebuilds_lbvh_per_frame():
+    """The dynamic-mesh scene: per-frame on-device LBVH rebuild
+    (SpinningMeshEntity -> ops/lbvh.build_lbvh), the reference's
+    Scene.RebuildBVH capability (Scenes/Scene.cs:66-69,122-127)."""
+    import jax
+    from yetanotherconsolegameengine_tpu.render.renderer import (
+        frame_step, init_state)
+    from yetanotherconsolegameengine_tpu.scene.showcase_scenes import (
+        build_spinning_mesh)
+
+    dyn = build_spinning_mesh()
+    s0 = dyn.at_time(0.0)
+    s1 = dyn.at_time(2.0)
+    # Same T every frame -> identical pytree shapes -> one compiled step.
+    assert jax.tree_util.tree_map(lambda x: x.shape, s0.mesh) == \
+        jax.tree_util.tree_map(lambda x: x.shape, s1.mesh)
+    # The rotated tree must differ (the rebuild actually ran).
+    assert not np.allclose(np.asarray(s0.mesh.bmin),
+                           np.asarray(s1.mesh.bmin))
+
+    step = jax.jit(lambda s, c, st: frame_step(s, c, st, fb_w=20, fb_h=12,
+                                               ss=1))
+    state = init_state(20, 12, 1)
+    out0, state = step(s0, s0.default_pose, state)
+    out1, state = step(s1, s1.default_pose, state)
+    a = np.asarray(out0.top_rgb)
+    b = np.asarray(out1.top_rgb)
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    assert a.max() > 0.0
+    # The spin must be visible.
+    assert np.abs(a - b).max() > 0.01

@@ -29,9 +29,9 @@ def default_scene_order() -> List[str]:
     RaytraceEntity.cs:319-344)."""
     order = ["test", "cornell", "mirror_spheres", "primitives", "boxes",
              "demo_random", "texture_test", "glass", "museum",
-             "exhibit_ring", "bunny", "teapot", "cow", "dragon",
-             "glass_gem", "all_meshes", "voxel_test", "voxel_cave", "video_texture",
-             "minecraft_like"]
+             "exhibit_ring", "spinning_mesh", "bunny", "teapot", "cow",
+             "dragon", "glass_gem", "all_meshes", "voxel_test",
+             "voxel_cave", "video_texture", "minecraft_like"]
     return [n for n in order if n in SCENE_BUILDERS or n == "minecraft_like"]
 
 

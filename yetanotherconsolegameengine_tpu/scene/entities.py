@@ -17,7 +17,10 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import List, Sequence
+from typing import Any, List, Sequence
+
+import jax
+import jax.numpy as jnp
 
 from .tables import SceneData
 
@@ -101,6 +104,47 @@ class UVWobbleEntity(SceneEntity):
             scene.materials,
             uv_scale=scene.materials.uv_scale.at[self.mat_id].set(k))
         return dataclasses.replace(scene, materials=mats)
+
+
+@jax.jit
+def _spin_lbvh(a, b, c, mat, ang, pivot):
+    """Rotate the mesh about Y at ``pivot`` and rebuild its BVH on device
+    (ops/lbvh.py — Morton sort + complete-tree reduction). Fully jitted:
+    per frame this is ONE device dispatch, not a host build."""
+    from ..ops.lbvh import build_lbvh
+    ca = jnp.cos(ang)
+    sa = jnp.sin(ang)
+
+    def rot(v):
+        p = v - pivot
+        x = p[:, 0] * ca + p[:, 2] * sa
+        z = -p[:, 0] * sa + p[:, 2] * ca
+        return jnp.stack([x, p[:, 1], z], axis=1) + pivot
+
+    return build_lbvh(rot(a), rot(b), rot(c), mat)
+
+
+@dataclasses.dataclass
+class SpinningMeshEntity(SceneEntity):
+    """Rigid mesh spinning about Y with a PER-FRAME on-device LBVH rebuild
+    — the reference's GeometryDirty -> Scene.RebuildBVH path
+    (Scenes/Scene.cs:66-69,122-127; BobbingSphereEntity requests exactly
+    this every frame, TestScenesRandom.cs:708-715). The rebuilt tree has
+    the same static shapes every frame (same T), so every rebuild hits one
+    compiled program."""
+
+    a0: Any              # (T, 3) base vertex arrays (device)
+    b0: Any
+    c0: Any
+    mat: Any             # (T,) i32 material ids
+    pivot: Sequence[float]
+    spin_hz: float = 0.12
+
+    def apply(self, scene, t):
+        ang = jnp.float32(2.0 * math.pi * self.spin_hz * t)
+        mesh = _spin_lbvh(self.a0, self.b0, self.c0, self.mat, ang,
+                          jnp.asarray(self.pivot, jnp.float32))
+        return dataclasses.replace(scene, mesh=mesh)
 
 
 class DynamicScene:

@@ -32,7 +32,7 @@ CLUSTER_MIN_TRIS = 16384
 # vertex-clustered simplification lands under this AND achieves >= 4x
 # reduction get a proxy set that shadow/bounce sweeps trace instead of the
 # full mesh.
-LOD_TARGET_TRIS = 49152
+LOD_TARGET_TRIS = 24576
 
 
 def _pad_rows(arr: np.ndarray, n: int) -> np.ndarray:
@@ -194,6 +194,12 @@ class SceneData:
     # populations, scene/lod.py); None when the mesh is small enough that
     # the full set is cheap. Selection happens in ops/trace.py.
     mesh_clusters_lod: Optional[Any] = None
+    # Does ANY material have transparency > 0? When False (known at scene
+    # build), the wavefront trace statically elides its refraction stack —
+    # the (S, P) stack arrays cost ~14 ms/frame at 64.8k rays even when no
+    # path ever pushes. True is the safe default (keep the stack).
+    any_transparent: bool = dataclasses.field(default=True,
+                                              metadata=dict(static=True))
 
     @property
     def default_pose(self):
@@ -409,8 +415,15 @@ class SceneBuilder:
                         lod_tris[:, 0], lod_tris[:, 1], lod_tris[:, 2],
                         lod_mats, t_bias=t_bias)
             else:
-                from ..ops.mesh_bvh import build_mesh_bvh
-                mesh = build_mesh_bvh(a, b, c, mat_ids)
+                # Sub-cluster meshes build ON DEVICE via the LBVH (Morton
+                # sort + complete-tree reduction, ops/lbvh.py) — the
+                # scene-switch/geometry-dirty path the reference serves
+                # with its CPU binned-SAH builder (Scene.RebuildBVH,
+                # Scenes/Scene.cs:66-69). One jitted dispatch instead of a
+                # host build; the host SAH builder (ops/mesh_bvh.py)
+                # remains for tests and offline tooling.
+                from ..ops.lbvh import build_lbvh
+                mesh = jax.jit(build_lbvh)(a, b, c, jnp.asarray(mat_ids))
 
         textures = None
         if self.textures:
@@ -423,6 +436,8 @@ class SceneBuilder:
         mesh_all_opaque = all(
             self.bank._mats[mid].transparency <= 0.0
             for _, mid in self._mesh_tris) if self._mesh_tris else True
+        any_transparent = any(m.transparency > 0.0
+                              for m in self.bank._mats)
         return SceneData(
             materials=self.bank.build(),
             spheres=spheres, boxes=boxes, rects=rects, cylinders=cylinders,
@@ -441,4 +456,5 @@ class SceneBuilder:
             defaults=(*(float(x) for x in self.default_pos),
                       self.default_yaw, self.default_pitch, self.default_fov),
             mesh_all_opaque=mesh_all_opaque,
+            any_transparent=any_transparent,
         )
