@@ -42,10 +42,13 @@ def main():
     fb_w, fb_h = 160, 90
     # Sustained-throughput config: the axon tunnel costs ~7-25 ms PER
     # DISPATCH, so small batches measure dispatch latency, not the chip
-    # (batch=30 reads ~0.45 ms/frame when the device program is ~0.2 ms).
-    # 300 frames per scan amortizes it away; the interactive-latency story
-    # is the app HUD's job.
-    batch = 300
+    # (batch=30 reads ~0.45 ms/frame when the device program is ~0.2 ms;
+    # batch=300 still carries ~65 us/frame of it — measured 190.6 vs
+    # 160.0 us/frame at batch=2000, scan-differencing says the device
+    # program itself is ~128 us). 2000 frames per scan amortizes the
+    # dispatch to ~10 us/frame; the interactive-latency story is the app
+    # HUD's job and bench_suite's interactive_fps column.
+    batch = 2000
     scene = build_cornell_box()
     r = RaytraceRenderer(scene, fb_w=fb_w, fb_h=fb_h, ss=1)
 

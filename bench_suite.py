@@ -48,7 +48,11 @@ def _interactive_fps(render_fn, n=24, warmup=4):
     return n / (time.perf_counter() - t0)
 
 
-def bench_scene(name, scene, fb_w, fb_h, batch=300, n_batches=2, ss=1):
+def bench_scene(name, scene, fb_w, fb_h, batch=2000, n_batches=2, ss=1):
+    # batch=2000 matches bench.py: at batch=300 the ~20 ms tunnel
+    # dispatch still adds ~65 us/frame to sub-200-us configs. Heavy
+    # configs pass smaller batches (their frames are >5 ms, so the
+    # dispatch is <1% either way) to keep suite wall-clock sane.
     from yetanotherconsolegameengine_tpu.render.renderer import RaytraceRenderer
 
     r = RaytraceRenderer(scene, fb_w=fb_w, fb_h=fb_h, ss=ss)
@@ -146,7 +150,7 @@ def main():
     bench_scene("Mirror spheres + TAA", SCENE_BUILDERS["mirror_spheres"](),
                 240, 135)
     bench_scene("Mirror spheres ss=2 (4x rays)",
-                SCENE_BUILDERS["mirror_spheres"](), 240, 135, batch=100,
+                SCENE_BUILDERS["mirror_spheres"](), 240, 135, batch=400,
                 ss=2)
     bench_scene("Primitive showcase", SCENE_BUILDERS["primitives"](),
                 160, 90)

@@ -166,3 +166,44 @@ def test_row_sharded_mesh_and_voxel_match_single_device():
         fg_sh = np.asarray(out_sh.fg_ansi)
         fg_1 = np.asarray(out_1.fg_ansi)
         assert (fg_sh != fg_1).mean() < 0.005, name
+
+
+def test_frame_scan_matches_sequential_steps():
+    """frame_scan hoists the per-frame camera basis (ray_params) and the
+    TAA motion-reset test OUT of the scan body (renderer.py precomp);
+    the hoisted math must reproduce the in-loop frame_step computation
+    bit-for-bit across moving poses — including a mid-sequence camera
+    jump that must trigger the same history reset both ways."""
+    scene, step, state_seq = make("cornell")
+    cam = scene.default_pose
+    base = np.asarray(cam.pos)
+    poses = [base + [0.0, 0.0, 0.0],
+             base + [0.01, 0.0, 0.0],      # sub-threshold drift: no reset
+             base + [0.5, 0.0, 0.0],       # jump: reset
+             base + [0.5, 0.0, 0.0]]       # still: accumulate
+    cams = CameraPose(
+        pos=jnp.asarray(np.asarray(poses, np.float32)),
+        yaw=jnp.full(4, cam.yaw, jnp.float32),
+        pitch=jnp.full(4, cam.pitch, jnp.float32),
+        fov_deg=jnp.full(4, float(cam.fov_deg), jnp.float32))
+
+    scan = jax.jit(functools.partial(R.frame_scan, fb_w=FB_W, fb_h=FB_H,
+                                     ss=1))
+    (fgs, bgs), out_scan, state_scan = scan(scene, cams,
+                                            R.init_state(FB_W, FB_H, 1))
+    assert fgs.shape == (4, FB_H, FB_W)
+
+    outs = []
+    for i in range(4):
+        one = jax.tree_util.tree_map(lambda x: x[i], cams)
+        out_seq, state_seq = step(scene, one, state_seq)
+        outs.append(out_seq)
+
+    np.testing.assert_array_equal(np.asarray(fgs[-1]),
+                                  np.asarray(outs[-1].fg_ansi))
+    for i in range(4):
+        np.testing.assert_array_equal(np.asarray(fgs[i]),
+                                      np.asarray(outs[i].fg_ansi))
+    np.testing.assert_allclose(np.asarray(state_scan.history),
+                               np.asarray(state_seq.history), atol=1e-6)
+    assert int(state_scan.frame_idx) == int(state_seq.frame_idx) == 4

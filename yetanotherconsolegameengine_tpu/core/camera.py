@@ -80,7 +80,8 @@ def ray_params(cam: CameraPose, width: int, height: int, frame_idx):
         jnp.stack([half_w, half_h]), rots]).astype(jnp.float32)
 
 
-def make_jittered_rays(cam: CameraPose, width: int, height: int, frame_idx):
+def make_jittered_rays(cam: CameraPose, width: int, height: int, frame_idx,
+                       params=None):
     """Build the full (H, W) grid of jittered primary rays.
 
     Per-pixel ordered-dither jitter rotated per frame by the golden-ratio
@@ -97,7 +98,10 @@ def make_jittered_rays(cam: CameraPose, width: int, height: int, frame_idx):
     px = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
     py = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
 
-    p = ray_params(cam, width, height, frame_idx)
+    # ``params``: a precomputed ray_params row (frame scans hoist the ~40
+    # scalar ops out of the loop body; see renderer.frame_scan).
+    p = ray_params(cam, width, height, frame_idx) if params is None \
+        else params
     bn_x = sampler.frac(sampler.bayer_base(px, py) + p[14])
     bn_y = sampler.frac(sampler.bayer_base(px, py) + p[15])
     jx = sampler.frac(bn_x + p[16]) - 0.5

@@ -102,13 +102,13 @@ def build_post_kernel(cfg: RenderConfig, hi_w: int, hi_h: int,
     ae_s = 1.0 - math.exp(-float(cfg.ae_speed))
     inv_gamma = 1.0 / max(0.1, cfg.tone_gamma)
 
-    def kernel(scal_ref,
-               cr_ref, cg_ref, cb_ref,
-               ar_ref, ag_ref, ab_ref,
-               nx_ref, ny_ref, nz_ref, dep_ref, sky_ref,
-               hr_ref, hg_ref, hb_ref,
-               pnx_ref, pny_ref, pnz_ref, pdep_ref, psky_ref,
-               *out_refs):
+    def kernel(scal_ref, pin, *out_refs):
+        # ``pin`` is ONE (19, hp, wp) plane bundle (order: cur rgb, albedo
+        # rgb, normal xyz, depth, sky, history rgb, prev-normal xyz, prev
+        # depth, prev sky) — stacked and edge-padded by ONE XLA op each on
+        # the caller side instead of 19 separate pads (each small XLA op
+        # around the kernel costs ~2 us of launch overhead per frame,
+        # which at terminal resolutions rivals the math itself).
         rows_i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
         cols_i = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
 
@@ -136,15 +136,15 @@ def build_post_kernel(cfg: RenderConfig, hi_w: int, hi_h: int,
         def row_masks(oy):
             return rows_i < -oy, rows_i >= hp - oy
 
-        cr = cr_ref[:]
-        cg = cg_ref[:]
-        cb = cb_ref[:]
-        sky = sky_ref[:]
-        dep = dep_ref[:]
+        cr = pin[0]
+        cg = pin[1]
+        cb = pin[2]
+        sky = pin[10]
+        dep = pin[9]
 
         # ---- TAA blend (taa.temporal_blend) ----------------------------
-        sky_flip = sky != psky_ref[:]
-        pdep = pdep_ref[:]
+        sky_flip = sky != pin[18]
+        pdep = pin[17]
         nonfinite = ~(jnp.isfinite(dep) & jnp.isfinite(pdep))
         dz = jnp.abs(dep - pdep)
         rel = dz / jnp.maximum(1e-4, jnp.minimum(dep, pdep))
@@ -153,8 +153,8 @@ def build_post_kernel(cfg: RenderConfig, hi_w: int, hi_h: int,
             inv = 1.0 / jnp.maximum(1e-20, jnp.sqrt(x * x + y * y + z * z))
             return x * inv, y * inv, z * inv
 
-        nxu, nyu, nzu = unit3(nx_ref[:], ny_ref[:], nz_ref[:])
-        pxu, pyu, pzu = unit3(pnx_ref[:], pny_ref[:], pnz_ref[:])
+        nxu, nyu, nzu = unit3(pin[6], pin[7], pin[8])
+        pxu, pyu, pzu = unit3(pin[14], pin[15], pin[16])
         ndot = nxu * pxu + nyu * pyu + nzu * pzu
         react = sky_flip | nonfinite | (rel > 0.05) | (ndot < 0.8)
         local_alpha = jnp.where(react, 1.0, jnp.float32(alpha))
@@ -184,9 +184,9 @@ def build_post_kernel(cfg: RenderConfig, hi_w: int, hi_h: int,
         rng = max_l - min_l
         l_min = min_l - rng * cfg.taa_luminance_pad
         l_max = max_l + rng * cfg.taa_luminance_pad
-        hr = hr_ref[:]
-        hg = hg_ref[:]
-        hb = hb_ref[:]
+        hr = pin[11]
+        hg = pin[12]
+        hb = pin[13]
         prev_l = _luma(hr, hg, hb)
         scale = jnp.where(prev_l > l_max, l_max / jnp.maximum(1e-6, prev_l),
                           jnp.where(prev_l < l_min,
@@ -199,14 +199,15 @@ def build_post_kernel(cfg: RenderConfig, hi_w: int, hi_h: int,
         br = jnp.where(reset_m, cr, hr * scale * (1.0 - a_) + cr * a_)
         bg = jnp.where(reset_m, cg, hg * scale * (1.0 - a_) + cg * a_)
         bb = jnp.where(reset_m, cb, hb * scale * (1.0 - a_) + cb * a_)
-        out_refs[0][:] = br
-        out_refs[1][:] = bg
-        out_refs[2][:] = bb
+        img_out = out_refs[0]
+        img_out[0] = br
+        img_out[1] = bg
+        img_out[2] = bb
 
         # ---- à-trous denoise (atrous.atrous_denoise) -------------------
-        a0r = ar_ref[:]
-        a0g = ag_ref[:]
-        a0b = ab_ref[:]
+        a0r = pin[3]
+        a0g = pin[4]
+        a0b = pin[5]
         z0 = dep
         sky_solid = sky > 0.5
 
@@ -312,9 +313,9 @@ def build_post_kernel(cfg: RenderConfig, hi_w: int, hi_h: int,
         ae_ref[0, 0] = ae
 
         if not fuse_tail:
-            out_refs[3][:] = cur_r
-            out_refs[4][:] = cur_g
-            out_refs[5][:] = cur_b
+            img_out[3] = cur_r
+            img_out[4] = cur_g
+            img_out[5] = cur_b
             return
 
         # ---- tail: tone map + saturation + ANSI-256, full-res pointwise
@@ -338,9 +339,9 @@ def build_post_kernel(cfg: RenderConfig, hi_w: int, hi_h: int,
         m_r = jnp.clip(y + (m_r - y) * f, 0.0, 1.0)
         m_g = jnp.clip(y + (m_g - y) * f, 0.0, 1.0)
         m_b = jnp.clip(y + (m_b - y) * f, 0.0, 1.0)
-        out_refs[3][:] = m_r
-        out_refs[4][:] = m_g
-        out_refs[5][:] = m_b
+        img_out[3] = m_r
+        img_out[4] = m_g
+        img_out[5] = m_b
 
         # ANSI-256 (ansi.rgb_to_ansi256 with select-based table reads).
         def srgb8(c):
@@ -381,20 +382,21 @@ def build_post_kernel(cfg: RenderConfig, hi_w: int, hi_h: int,
         d_gray = ((r8 - gray_v) ** 2 + (g8 - gray_v) ** 2
                   + (b8 - gray_v) ** 2 + 64.0)
         use_gray = (chroma <= 18.0) & (d_gray < d_cube)
-        out_refs[6][:] = jnp.where(use_gray, idx_gray, idx_cube) \
+        out_refs[1][:] = jnp.where(use_gray, idx_gray, idx_cube) \
             .astype(jnp.int32)
 
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     f32 = jnp.float32
-    n_img = 7 if fuse_tail else 6
-    out_shape = [jax.ShapeDtypeStruct(shape, f32) for _ in range(6)]
+    out_shape = [jax.ShapeDtypeStruct((6,) + shape, f32)]
+    n_out = 1
     if fuse_tail:
         out_shape.append(jax.ShapeDtypeStruct(shape, jnp.int32))
+        n_out = 2
     out_shape.append(jax.ShapeDtypeStruct((1, 1), f32))
     return pl.pallas_call(
         kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [vspec] * 19,
-        out_specs=[vspec] * n_img + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), vspec],
+        out_specs=[vspec] * n_out + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
@@ -417,20 +419,21 @@ def _pack_scalars(force_reset, history_valid, ae_exposure):
     ]).reshape(1, 4)
 
 
-def _padded_args(cfg, hi_w, hi_h, cur, albedo, normal, depth, sky_f,
-                 history, prev_normal, prev_depth, prev_sky_f):
+def _bundle(cfg, hi_w, hi_h, cur, albedo, normal, depth, sky_f,
+            history, prev_normal, prev_depth, prev_sky_f):
+    """Stack the 19 input planes into one (19, hp, wp) bundle with ONE
+    edge-replicating pad (19 separate pads cost ~2 us of launch overhead
+    each per frame)."""
     hp, wp = padded_shape(cfg, hi_w, hi_h)
-
-    def pad(x):
-        return jnp.pad(x, ((0, hp - hi_h), (0, wp - hi_w)), mode="edge")
-
-    return [pad(cur[0]), pad(cur[1]), pad(cur[2]),
-            pad(albedo[0]), pad(albedo[1]), pad(albedo[2]),
-            pad(normal[0]), pad(normal[1]), pad(normal[2]), pad(depth),
-            pad(sky_f),
-            pad(history[0]), pad(history[1]), pad(history[2]),
-            pad(prev_normal[0]), pad(prev_normal[1]), pad(prev_normal[2]),
-            pad(prev_depth), pad(prev_sky_f)]
+    planes = jnp.stack([
+        cur[0], cur[1], cur[2],
+        albedo[0], albedo[1], albedo[2],
+        normal[0], normal[1], normal[2], depth, sky_f,
+        history[0], history[1], history[2],
+        prev_normal[0], prev_normal[1], prev_normal[2],
+        prev_depth, prev_sky_f])
+    return jnp.pad(planes, ((0, 0), (0, hp - hi_h), (0, wp - hi_w)),
+                   mode="edge")
 
 
 def post_fused(cfg: RenderConfig, sample_step: int,
@@ -442,20 +445,20 @@ def post_fused(cfg: RenderConfig, sample_step: int,
 
     cur/albedo/normal/history/prev_normal: tuples of 3 (H, W) planes;
     depth/sky_f/prev_depth/prev_sky_f: (H, W) planes (sky as f32 0/1).
-    Returns ((blended r,g,b), (denoised r,g,b), new_ae scalar).
+    Returns (blended (H, W, 3), denoised (H, W, 3), new_ae scalar).
 
-    Planes are edge-replication-padded to Mosaic-aligned shapes before the
-    call (replicated padding == clamp-to-edge for every stencil offset the
-    kernel reads) and sliced back after."""
+    Planes travel as ONE stacked bundle, edge-replication-padded to
+    Mosaic-aligned shapes (replicated padding == clamp-to-edge for every
+    stencil offset the kernel reads) and cropped back after."""
     hi_h, hi_w = depth.shape
     scal = _pack_scalars(force_reset, history_valid, ae_exposure)
-    args = _padded_args(cfg, hi_w, hi_h, cur, albedo, normal, depth, sky_f,
-                        history, prev_normal, prev_depth, prev_sky_f)
+    planes = _bundle(cfg, hi_w, hi_h, cur, albedo, normal, depth, sky_f,
+                     history, prev_normal, prev_depth, prev_sky_f)
     call = _cached_post(cfg, hi_w, hi_h, sample_step, False, interpret)
-    (br, bg, bb, dr, dg, db, ae) = call(scal, *args)
-    cut = lambda x: x[:hi_h, :hi_w]
-    return ((cut(br), cut(bg), cut(bb)),
-            (cut(dr), cut(dg), cut(db)), ae.reshape(()))
+    imgs, ae = call(scal, planes)
+    imgs = imgs[:, :hi_h, :hi_w]
+    return (imgs[0:3].transpose(1, 2, 0), imgs[3:6].transpose(1, 2, 0),
+            ae.reshape(()))
 
 
 def post_fused_tail(cfg: RenderConfig, sample_step: int,
@@ -465,15 +468,15 @@ def post_fused_tail(cfg: RenderConfig, sample_step: int,
                     interpret: bool = False):
     """Fused post INCLUDING the tone-map + ANSI tail (ss == 1 only).
 
-    Returns ((blended r,g,b), (mapped r,g,b full-res), ansi_full (i32),
-    new_ae). The caller deinterleaves even/odd rows into the top/bottom
-    cell grids."""
+    Returns (blended (H, W, 3), mapped (H, W, 3) full-res, ansi_full
+    (H, W) i32, new_ae). The caller deinterleaves even/odd rows into the
+    top/bottom cell grids."""
     hi_h, hi_w = depth.shape
     scal = _pack_scalars(force_reset, history_valid, ae_exposure)
-    args = _padded_args(cfg, hi_w, hi_h, cur, albedo, normal, depth, sky_f,
-                        history, prev_normal, prev_depth, prev_sky_f)
+    planes = _bundle(cfg, hi_w, hi_h, cur, albedo, normal, depth, sky_f,
+                     history, prev_normal, prev_depth, prev_sky_f)
     call = _cached_post(cfg, hi_w, hi_h, sample_step, True, interpret)
-    (br, bg, bb, mr, mg, mb, ansi_full, ae) = call(scal, *args)
-    cut = lambda x: x[:hi_h, :hi_w]
-    return ((cut(br), cut(bg), cut(bb)),
-            (cut(mr), cut(mg), cut(mb)), cut(ansi_full), ae.reshape(()))
+    imgs, ansi_full, ae = call(scal, planes)
+    imgs = imgs[:, :hi_h, :hi_w]
+    return (imgs[0:3].transpose(1, 2, 0), imgs[3:6].transpose(1, 2, 0),
+            ansi_full[:hi_h, :hi_w], ae.reshape(()))

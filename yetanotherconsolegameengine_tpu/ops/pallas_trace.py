@@ -1057,7 +1057,7 @@ def _cached_kernel(hs: _HostScene, cfg: RenderConfig, hi_w: int, hi_h: int,
 
 def trace_all_pallas(scene: SceneData, hs: _HostScene, cam, frame_idx,
                      hi_w: int, hi_h: int, cfg: RenderConfig,
-                     interpret: bool = False):
+                     interpret: bool = False, params=None):
     """Drop-in replacement for ops.trace.trace_all on fitting scenes.
 
     Takes the camera pose + frame index instead of ray arrays: primary
@@ -1071,7 +1071,7 @@ def trace_all_pallas(scene: SceneData, hs: _HostScene, cam, frame_idx,
 
     (rr, rg, rb), sky, (ar, ag, ab), (nx, ny, nz), dep, rays = \
         trace_planes_pallas(scene, hs, cam, frame_idx, hi_w, hi_h, cfg,
-                            interpret=interpret)
+                            interpret=interpret, params=params)
     flat = lambda x: x.reshape(-1)
     radiance = jnp.stack([flat(rr), flat(rg), flat(rb)], axis=-1)
     albedo = jnp.stack([flat(ar), flat(ag), flat(ab)], axis=-1)
@@ -1083,7 +1083,7 @@ def trace_all_pallas(scene: SceneData, hs: _HostScene, cam, frame_idx,
 
 def trace_planes_pallas(scene: SceneData, hs: _HostScene, cam, frame_idx,
                         hi_w: int, hi_h: int, cfg: RenderConfig,
-                        interpret: bool = False):
+                        interpret: bool = False, params=None):
     """Megakernel trace returning per-channel (hi_h, hi_w) image planes —
     the layout the fused post kernel (ops/pallas_post.py) consumes.
 
@@ -1092,7 +1092,11 @@ def trace_planes_pallas(scene: SceneData, hs: _HostScene, cam, frame_idx,
     from ..core.camera import ray_params
 
     P = hi_w * hi_h
-    params = ray_params(cam, hi_w, hi_h, frame_idx).reshape(1, 18)
+    # ``params``: precomputed ray_params row (frame scans hoist the scalar
+    # camera math out of the loop body; see renderer.frame_scan).
+    if params is None:
+        params = ray_params(cam, hi_w, hi_h, frame_idx)
+    params = params.reshape(1, 18)
     frame = jnp.asarray(frame_idx, jnp.int32).reshape(1, 1)
     call = _cached_kernel(hs, cfg, hi_w, hi_h, interpret)
     (rr, rg, rb, sky, ar, ag, ab, nx, ny, nz, dep, nray) = call(params, frame)

@@ -83,7 +83,8 @@ def init_state(fb_w: int, fb_h: int, ss: int = 1) -> FrameState:
 def frame_step(scene: SceneData, cam: CameraPose, state: FrameState,
                fb_w: int, fb_h: int, ss: int = 1,
                cfg: RenderConfig = DEFAULT_CONFIG, host_scene=None,
-               pallas_interpret: bool = False, fused_post=None):
+               pallas_interpret: bool = False, fused_post=None,
+               precomp=None):
     """Render one frame. Pure; jit with static (fb_w, fb_h, ss, cfg,
     host_scene, pallas_interpret, fused_post).
 
@@ -95,16 +96,26 @@ def frame_step(scene: SceneData, cam: CameraPose, state: FrameState,
     path — mesh/voxel scenes trace through XLA but still post through
     Pallas on TPU; None (default) follows the trace path choice.
     ``pallas_interpret`` runs the Pallas programs through the interpreter
-    for CPU-based CI."""
+    for CPU-based CI.
+
+    ``precomp``: optional (ray_params_row (18,), reset ()) computed
+    OUTSIDE a frame scan. The camera-basis scalars are ~40 scalar HLO ops
+    that run on the TPU scalar unit — ~46 us/frame when traced inside a
+    scan body, but one vectorized batch for ALL frames when hoisted
+    (frame_scan does this)."""
     ss = max(1, ss)
     hi_w, hi_h = fb_w * ss, fb_h * 2 * ss
     frame = state.frame_idx + 1
     frame_idx = frame & 0x7FFFFFFF
 
-    reset = taa.should_reset_history(
-        cam.pos, cam.yaw, cam.pitch,
-        state.last_cam, state.last_yaw, state.last_pitch,
-        state.have_last, cfg)
+    if precomp is not None:
+        params_row, reset = precomp
+    else:
+        params_row = None
+        reset = taa.should_reset_history(
+            cam.pos, cam.yaw, cam.pitch,
+            state.last_cam, state.last_yaw, state.last_pitch,
+            state.have_last, cfg)
     if scene.has_dynamic_textures:
         reset = jnp.asarray(True)
 
@@ -119,17 +130,19 @@ def frame_step(scene: SceneData, cam: CameraPose, state: FrameState,
         from ..ops.pallas_trace import trace_planes_pallas
         rad3, sky_f, alb3, n3, dep, rays_traced = trace_planes_pallas(
             scene, host_scene, cam, frame_idx, hi_w, hi_h, cfg,
-            interpret=pallas_interpret)
+            interpret=pallas_interpret, params=params_row)
         g_depth = jnp.where(dep >= INF, jnp.float32(3.4e38), dep)
     else:
         if host_scene is not None:
             from ..ops.pallas_trace import trace_all_pallas
             res = trace_all_pallas(scene, host_scene, cam, frame_idx,
                                    hi_w, hi_h, cfg,
-                                   interpret=pallas_interpret)
+                                   interpret=pallas_interpret,
+                                   params=params_row)
         else:
             # Ray generation (RaytraceRenderer.cs:183-194).
-            o, d = make_jittered_rays(cam, hi_w, hi_h, frame_idx)
+            o, d = make_jittered_rays(cam, hi_w, hi_h, frame_idx,
+                                      params=params_row)
             # Per-pixel RNG seeds (RaytraceRenderer.cs:203).
             px = jax.lax.broadcasted_iota(jnp.uint32, (hi_h, hi_w), 1)
             py = jax.lax.broadcasted_iota(jnp.uint32, (hi_h, hi_w), 0)
@@ -161,19 +174,15 @@ def frame_step(scene: SceneData, cam: CameraPose, state: FrameState,
                      state.prev_sky.astype(jnp.float32),
                      state.history_valid, reset, state.ae_exposure)
         if ss == 1:
-            b3, m3, ansi_full, new_ae = pallas_post.post_fused_tail(
+            blended, mapped, ansi_full, new_ae = pallas_post.post_fused_tail(
                 *post_args, interpret=pallas_interpret)
             # Deinterleave even/odd rows into the '▀' top/bottom grids.
-            fused_tail = (
-                jnp.stack([m[0::2] for m in m3], axis=-1),
-                jnp.stack([m[1::2] for m in m3], axis=-1),
-                ansi_full[0::2], ansi_full[1::2])
+            fused_tail = (mapped[0::2], mapped[1::2],
+                          ansi_full[0::2], ansi_full[1::2])
         else:
-            b3, d3, new_ae = pallas_post.post_fused(
+            blended, denoised, new_ae = pallas_post.post_fused(
                 *post_args, interpret=pallas_interpret)
-            denoised = jnp.stack(d3, axis=-1)
         exposure = cfg.tone_exposure * new_ae
-        blended = jnp.stack(b3, axis=-1)
         sky = sky_f > 0.5
         g_normal = jnp.stack(n3, axis=-1)
     else:
@@ -238,22 +247,50 @@ def frame_scan(scene: SceneData, cams: CameraPose, state: FrameState,
     are stacked per frame — that is all a terminal consumer needs, and
     stacking full f32 RGB planes costs ~10x the render itself."""
 
-    def step(st, cam):
+    def step(st, xs):
+        cam, pc = xs
         out, st2 = frame_step(scene, cam, st, fb_w, fb_h, ss, cfg,
-                              host_scene=host_scene, fused_post=fused_post)
+                              host_scene=host_scene, fused_post=fused_post,
+                              precomp=pc)
         return st2, (out.fg_ansi.astype(jnp.uint8),
                      out.bg_ansi.astype(jnp.uint8))
 
     n = cams.pos.shape[0]
-    head = jax.tree_util.tree_map(lambda x: x[:-1], cams)
-    last = jax.tree_util.tree_map(lambda x: x[-1], cams)
+    # Hoist the per-frame scalar prep out of the scan body: the camera
+    # basis (ray_params) and the TAA motion-reset test are ~50 scalar HLO
+    # ops each frame — ~46 us/frame on the TPU scalar unit inside the
+    # loop, one vectorized batch over all N frames out here.
+    from ..core.camera import ray_params
+    from ..ops import taa as _taa
+    hi_w, hi_h = fb_w * max(1, ss), fb_h * 2 * max(1, ss)
+    fidx = (state.frame_idx + 1 + jnp.arange(n, dtype=jnp.int32)) \
+        & 0x7FFFFFFF
+    params_all = jax.vmap(
+        lambda c, f: ray_params(c, hi_w, hi_h, f))(cams, fidx)
+    prev_pos = jnp.concatenate([state.last_cam[None], cams.pos[:-1]])
+    prev_yaw = jnp.concatenate([state.last_yaw[None], cams.yaw[:-1]])
+    prev_pitch = jnp.concatenate([state.last_pitch[None],
+                                  cams.pitch[:-1]])
+    have = jnp.concatenate([state.have_last[None],
+                            jnp.ones(n - 1, bool)])
+    resets = jax.vmap(
+        lambda p, y, pt, lp, ly, lpt, h: _taa.should_reset_history(
+            p, y, pt, lp, ly, lpt, h, cfg))(
+        cams.pos, cams.yaw, cams.pitch, prev_pos, prev_yaw, prev_pitch,
+        have)
+    pcs = (params_all, resets)
+
+    head = jax.tree_util.tree_map(lambda x: x[:-1], (cams, pcs))
+    last_cam = jax.tree_util.tree_map(lambda x: x[-1], cams)
+    last_pc = jax.tree_util.tree_map(lambda x: x[-1], pcs)
     if n > 1:
         state, (fgs, bgs) = jax.lax.scan(step, state, head)
     else:
         fgs = jnp.zeros((0, fb_h, fb_w), jnp.uint8)
         bgs = fgs
-    out, state = frame_step(scene, last, state, fb_w, fb_h, ss, cfg,
-                            host_scene=host_scene, fused_post=fused_post)
+    out, state = frame_step(scene, last_cam, state, fb_w, fb_h, ss, cfg,
+                            host_scene=host_scene, fused_post=fused_post,
+                            precomp=last_pc)
     fgs = jnp.concatenate([fgs, out.fg_ansi.astype(jnp.uint8)[None]])
     bgs = jnp.concatenate([bgs, out.bg_ansi.astype(jnp.uint8)[None]])
     return (fgs, bgs), out, state
