@@ -28,7 +28,8 @@ def main(argv=None) -> int:
                     help=f"start scene ({', '.join(default_scene_order())})")
     ap.add_argument("--ss", type=int, default=1,
                     help="supersample factor (Program.cs args[0])")
-    ap.add_argument("--backend", default="ansi", choices=("ansi", "plain"))
+    ap.add_argument("--backend", default="ansi",
+                    choices=("ansi", "plain", "window"))
     ap.add_argument("--frames", type=int, default=None,
                     help="exit after N frames (benchmark/CI mode)")
     ap.add_argument("--size", default=None,

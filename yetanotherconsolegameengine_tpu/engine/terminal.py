@@ -101,7 +101,11 @@ class Terminal:
 
                 if self.input is not None:
                     self.input.update()
-                    while (key := self.input.try_get_key()) is not None:
+                    # Windowed backends queue their own key events
+                    # (window_renderer.WindowTerminalRenderer._pump).
+                    win_keys = getattr(self.renderer, "try_get_key", None)
+                    while (key := self.input.try_get_key()
+                           or (win_keys() if win_keys else None)) is not None:
                         if key in ("esc", "ctrl_c"):
                             self.running = False
                         elif key == "[":

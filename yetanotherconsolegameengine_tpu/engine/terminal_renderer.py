@@ -169,3 +169,14 @@ BACKENDS = {
     "ansi": ANSITerminalRenderer,
     "plain": PlainTerminalRenderer,
 }
+
+# The windowed (SDL) backend registers when pygame can load — the cycle
+# keys ('['/']') then reach it, closing the reference's
+# OpenGLTerminalRenderer capability on Linux (coverage row #49).
+try:
+    from .window_renderer import WindowTerminalRenderer, available as \
+        _window_available
+    if _window_available():
+        BACKENDS["window"] = WindowTerminalRenderer
+except Exception:  # pygame missing/broken: terminal backends only
+    pass
