@@ -179,8 +179,44 @@ def main():
     from yetanotherconsolegameengine_tpu.world.volume_scene import (
         build_minecraft_like)
     vs = build_minecraft_like()
+    # Settle the initial chunk load first: the island's interactive number
+    # is the STEADY-STATE streamed-world frame (walking triggers at most a
+    # couple of chunk builds); measuring while the spawn load is still
+    # draining charges world-gen to frame time (round-3 audit: ~170 ms
+    # "frames" that were mostly chunk uploads).
+    vs.manager.ensure_all_loaded(vs.pos)
+    vs.update(1.0 / 30.0)
     bench_dynamic("Minecraft-like streamed island (DDA)",
                   lambda t: vs.update(1.0 / 30.0), 160, 90, n=12)
+
+    # Sustained island number: the loaded world is static between chunk
+    # arrivals (day/night only moves light scalars), so a camera orbit
+    # rides the same render_many scan path as every static config. This
+    # is the chip's island number; the interactive one above carries the
+    # ~30 ms/dispatch tunnel latency.
+    from yetanotherconsolegameengine_tpu.render.renderer import RaytraceRenderer
+    import math as _math
+    sc = vs.update(1.0 / 30.0)
+    rr = RaytraceRenderer(sc, fb_w=160, fb_h=90, ss=1, use_pallas=False)
+    eye = vs.pos.copy(); eye[1] += 6.0
+    poses = [(eye, _math.pi * 2 * i / 64, -0.35) for i in range(64)]
+    batch = poses * 4  # 256 frames/dispatch
+    grids, out = rr.render_many(len(batch), poses=batch)
+    _sync(grids[0])
+    rays = int(out.rays_traced)
+    t0 = time.perf_counter()
+    n_b = 2
+    for _ in range(n_b):
+        grids, out = rr.render_many(len(batch), poses=batch)
+    _sync(grids[0])
+    dt = (time.perf_counter() - t0) / (n_b * len(batch))
+    print(json.dumps({
+        "metric": f"Minecraft-like island orbit, sustained @160x90 "
+                  f"({rays} rays/frame)",
+        "fps": round(1.0 / dt, 1),
+        "mrays_per_s": round(rays / dt / 1e6, 2),
+        "pallas": False,
+    }), flush=True)
 
     bench_lbvh_rebuild()
 

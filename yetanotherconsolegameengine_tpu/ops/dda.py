@@ -21,6 +21,16 @@ Every pixel advances one (voxel or brick) step per ``lax.while_loop``
 round; the loop ends when all rays hit or exit. Cells store material-bank
 ids directly (0 = air) — the (mat, meta) -> Material palette lookup of
 VoxelMaterialPalette.cs is baked at scene build time.
+
+Negative result (round 3, measured on the v5e): a 4^3-supercell variant —
+64 occupancy bits + a supercell-level Chebyshev distance packed into one
+gathered (4,) u32 row, occupied supercells resolved by a 10-step unrolled
+in-register cell march — LOST to this design on both voxel configs
+(island orbit 14.2 -> 9.9 fps, DDA room 19 -> 17.1). The cell-level
+distance field already makes empty space ~free (jumps up to 30 cells per
+gather), so the supercell level only added per-round VPU work without
+cutting the round count, which is set by surface-grazing rays marching
+1 cell per round either way.
 """
 
 from __future__ import annotations
