@@ -414,10 +414,14 @@ def intersect_scene(scene, o, d, tmin, tmax, shadow: bool = False,
     single lever for rays that miss the hero geometry.
 
     ``shadow=True`` marks an occlusion query: when every mesh material is
-    opaque (scene.mesh_all_opaque), the cluster traversal may return ANY
-    blocking hit instead of the nearest — transmittance zeroes on any
-    opaque blocker, and transparent primitives in OTHER tables still win
-    the nearest-t merge, so the transmittance march stays correct.
+    opaque (scene.mesh_all_opaque) — or when the scene uses BINARY
+    shadows, where ANY intersection occludes regardless of material —
+    the cluster traversal may return ANY blocking hit instead of the
+    nearest: transmittance zeroes on any blocker, transparent primitives
+    in OTHER tables still win the nearest-t merge, and fully shadowed
+    tiles exit after their first blocking cluster (measured +2-3% whole-
+    frame on bunny/dragon; load-bearing for the streamed island's sun
+    sweeps where terrain rays graze many clusters).
 
     ``lod=True`` marks a SECONDARY population (shadow or bounce rays):
     when the scene carries a low-poly proxy cluster set
@@ -448,7 +452,8 @@ def intersect_scene(scene, o, d, tmin, tmax, shadow: bool = False,
                                   jnp.float32(mc.t_bias))
         h = merge(h, intersect_clusters(
             mc, o, d, mc_tmin, t_clip,
-            any_hit=bool(shadow and scene.mesh_all_opaque)))
+            any_hit=bool(shadow and (scene.mesh_all_opaque
+                                     or scene.binary_shadows))))
     if scene.voxels is not None:
         from .dda import intersect_voxels
         t_clip = jnp.minimum(t_clip, h.t + 1e-3)

@@ -111,9 +111,16 @@ def _woop_rows(a: np.ndarray, b: np.ndarray, c: np.ndarray):
     return inv.astype(np.float32), const.astype(np.float32)
 
 
-def build_clusters(a: np.ndarray, b: np.ndarray, c: np.ndarray,
-                   mat: np.ndarray, t_bias: float = 0.0) -> MeshClusters:
-    """Spatial-sort + consecutive-KC packing host build."""
+def pack_cluster_blocks(a: np.ndarray, b: np.ndarray, c: np.ndarray,
+                        mat: np.ndarray):
+    """Host packing of triangles into KC-wide cluster blocks.
+
+    Returns numpy ``(cbmin (C,3), cbmax (C,3), gmat (C,8,3KC),
+    tri_rows (C*KC,16))`` — the raw table rows of ``MeshClusters`` —
+    so callers can either assemble a whole-mesh ``MeshClusters``
+    (``build_clusters``) or scatter the blocks into slots of a larger
+    device-resident table (the streamed-world surface mesher,
+    world/surface.py)."""
     a = np.asarray(a, np.float32)
     b = np.asarray(b, np.float32)
     c = np.asarray(c, np.float32)
@@ -179,6 +186,13 @@ def build_clusters(a: np.ndarray, b: np.ndarray, c: np.ndarray,
         tri_rows[dst, 9:12] = nrm[sl]
         tri_rows[dst, 12] = m_s[sl]
 
+    return cbmin, cbmax, gmat, tri_rows
+
+
+def build_clusters(a: np.ndarray, b: np.ndarray, c: np.ndarray,
+                   mat: np.ndarray, t_bias: float = 0.0) -> MeshClusters:
+    """Spatial-sort + consecutive-KC packing host build."""
+    cbmin, cbmax, gmat, tri_rows = pack_cluster_blocks(a, b, c, mat)
     bounds = np.stack([cbmin.min(axis=0), cbmax.max(axis=0)])
     return MeshClusters(
         cbmin=jnp.asarray(cbmin), cbmax=jnp.asarray(cbmax),

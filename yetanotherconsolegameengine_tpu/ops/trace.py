@@ -39,6 +39,10 @@ from .intersect import INF, intersect_scene
 
 _EPS = 1e-4  # RaytraceRenderer.Eps
 
+# Ablation/debug knob for the between-rounds wavefront compaction (see
+# trace_all); tests flip it to verify compacted == uncompacted output.
+WAVEFRONT_COMPACTION = True
+
 
 def _dot(a, b):
     return jnp.sum(a * b, axis=-1)
@@ -185,11 +189,14 @@ def trace_all(scene, o0, d0, rng0, cfg: RenderConfig) -> TraceResult:
             st_mirror=jnp.zeros((S, P), jnp.int32),
             st_diffuse=jnp.zeros((S, P), jnp.int32),
         )
-        slot_iota = jax.lax.broadcasted_iota(jnp.int32, (S, P), 0)
 
     def push(st, mask, item_o, item_d, item_beta, item_mirror, item_diffuse):
         if not use_stack:
             return st
+        # (S, W) iota from the live stack shape: the loop may run at the
+        # compacted width, not P (constant-folded by XLA either way).
+        slot_iota = jax.lax.broadcasted_iota(jnp.int32,
+                                             st["st_mirror"].shape, 0)
         mask = mask & (st["sp"] < S)
         sel = (slot_iota == st["sp"][None, :]) & mask[None, :]
         sel3 = sel[..., None]
@@ -206,6 +213,7 @@ def trace_all(scene, o0, d0, rng0, cfg: RenderConfig) -> TraceResult:
 
     def body(st, lod_sweep: bool = False):
         o, d, beta = st["o"], st["d"], st["beta"]
+        W = o.shape[0]   # full P in round 0, the compacted width after
         active = st["active"]
         st["rays"] = st["rays"] + jnp.sum(active.astype(jnp.int32))
 
@@ -226,7 +234,8 @@ def trace_all(scene, o0, d0, rng0, cfg: RenderConfig) -> TraceResult:
         m = gather_material(scene.materials, hit.mat)
         p = o + hit.t[:, None] * d
         uv = jnp.stack([hit.u, hit.v], axis=-1)
-        base_albedo = sample_albedo(m, p, uv, scene.textures)
+        base_albedo = sample_albedo(m, p, uv, scene.textures,
+                                    tint_pos=p + d * 1e-3)
 
         # ---- miss: vertical sky gradient -----------------------------------
         miss = active & ~hit.hit
@@ -300,12 +309,12 @@ def trace_all(scene, o0, d0, rng0, cfg: RenderConfig) -> TraceResult:
             need = diffuse[:, None] & lt.mask[None] & (ndotl > 0.0)
 
             so = jnp.broadcast_to((p + hit.n * _EPS)[:, None, :],
-                                  (P, L, 3)).reshape(P * L, 3)
-            sd = ldir.reshape(P * L, 3)
+                                  (W, L, 3)).reshape(W * L, 3)
+            sd = ldir.reshape(W * L, 3)
             trans, shadow_rays = transmittance_to_lights(
-                scene, so, sd, (dist - _EPS).reshape(P * L),
-                need.reshape(P * L), cfg, lod=use_lod)
-            trans = trans.reshape(P, L, 3)
+                scene, so, sd, (dist - _EPS).reshape(W * L),
+                need.reshape(W * L), cfg, lod=use_lod)
+            trans = trans.reshape(W, L, 3)
             st["rays"] = st["rays"] + shadow_rays
 
             atten = lt.intensity[None] / dist2
@@ -342,6 +351,8 @@ def trace_all(scene, o0, d0, rng0, cfg: RenderConfig) -> TraceResult:
 
         ended = active & ~cont
         if use_stack:
+            slot_iota = jax.lax.broadcasted_iota(jnp.int32,
+                                                 st["st_mirror"].shape, 0)
             can_pop = ended & (st["sp"] > 0)
             idx = jnp.maximum(st["sp"] - 1, 0)
             # Pop via select-sum over the slot axis (gathers cost ~5x the
@@ -370,7 +381,40 @@ def trace_all(scene, o0, d0, rng0, cfg: RenderConfig) -> TraceResult:
     # against the full-detail mesh, the loop body against the LOD proxy —
     # with no data-dependent branch between them.
     st = body(state)
-    st = jax.lax.while_loop(cond, lambda s: body(s, lod_sweep=True), st)
+
+    # Wavefront compaction between rounds (cluster scenes only): after the
+    # primary round, actives are the continuation populations (mirror /
+    # refraction / bounce rays — measured <=30% of P on typical island and
+    # dragon frames), yet every later round still pays full-width sort,
+    # cull, shadow-sweep, and shading traffic (~17 ms/round at 57.6k lanes
+    # on the island). Packing survivors (actives sorted first) into P//2
+    # halves every per-round cost. The OVERFLOW half runs as a second
+    # compacted batch whose while_loop zero-trips when it holds no actives
+    # (the common case) — so a pose where >half the wavefront continues
+    # (camera filling the frame with bouncing terrain) degrades to the
+    # uncompacted cost instead of silently dropping path energy. Per-ray
+    # arithmetic is order-independent (the cluster kernel's near-to-far
+    # early exit is exact per ray), so results match the uncompacted loop
+    # up to radiance summation order; primitive/megakernel scenes skip
+    # this path entirely (bit-exactness with the megakernel is CI-locked).
+    compact = (WAVEFRONT_COMPACTION and scene.mesh_clusters is not None
+               and P >= 4096)
+    if compact:
+        Pc = P // 2
+        order = jnp.argsort(jnp.where(st["active"], 0, 1)
+                            .astype(jnp.int32), stable=True)
+        keep_scalar = ("round", "rays")
+        for idx in (order[:Pc], order[Pc:]):
+            sub = {k: (v if k in keep_scalar else
+                       (v[:, idx] if k.startswith("st_") else v[idx]))
+                   for k, v in st.items()}
+            sub["radiance"] = jnp.zeros((idx.shape[0], 3), jnp.float32)
+            sub = jax.lax.while_loop(cond,
+                                     lambda s: body(s, lod_sweep=True), sub)
+            st["radiance"] = st["radiance"].at[idx].add(sub["radiance"])
+            st["rays"] = sub["rays"]
+    else:
+        st = jax.lax.while_loop(cond, lambda s: body(s, lod_sweep=True), st)
     return TraceResult(radiance=st["radiance"], is_sky=st["is_sky"],
                        albedo=st["g_albedo"], normal=st["g_normal"],
                        depth=st["g_depth"], rays_traced=st["rays"])

@@ -23,6 +23,14 @@ import numpy as np
 PROC_SOLID = 0
 PROC_CHECKER = 1
 PROC_TEXTURE = 2
+# Per-voxel-cell albedo tint: multiply by 1 + 0.08*((hash(cell) % 5) - 2),
+# the same variation band as the voxel palette's meta tints
+# (VoxelMaterialPalette.MaterialLookup's strata/grass meta factors). The
+# streamed-world surface mesher merges faces across meta variants — per-cell
+# bank ids would shatter the greedy rectangles ~10x — and restores the
+# variation procedurally from the hit cell (compute over memory: the tint
+# is 6 VPU int ops instead of distinct material rows).
+PROC_CELL_TINT = 3
 
 
 @dataclasses.dataclass(frozen=True)
@@ -172,13 +180,18 @@ def gather_material(table: MaterialTable, mat_id) -> MaterialTable:
         uv_scale=rows[..., 20])
 
 
-def sample_albedo(mat: MaterialTable, pos, uv, textures: Optional[jax.Array]):
+def sample_albedo(mat: MaterialTable, pos, uv, textures: Optional[jax.Array],
+                  tint_pos=None):
     """Evaluate the procedural surface color at a hit.
 
     Solid / checker follow Scenes.cs:408-428; texture blending follows
     RaytraceRenderer.SampleAlbedo (RaytraceRenderer.cs:724-735) with
     bilinear wrap sampling like Renderer/Texture.cs.
     ``pos`` (..., 3), ``uv`` (..., 2). Returns (..., 3).
+
+    ``tint_pos``: position nudged INSIDE the surface (hit + eps along the
+    ray) so PROC_CELL_TINT resolves the SOLID cell rather than the
+    boundary-ambiguous face point; defaults to ``pos``.
     """
     base = mat.albedo
     # Checker in world XZ.
@@ -187,6 +200,22 @@ def sample_albedo(mat: MaterialTable, pos, uv, textures: Optional[jax.Array]):
     check = ((cx + cz) & 1) == 0
     checker = jnp.where(check[..., None], mat.albedo, mat.albedo2)
     out = jnp.where((mat.proc == PROC_CHECKER)[..., None], checker, base)
+
+    # Per-cell tint (streamed-world surface quads, world/surface.py).
+    tp = pos if tint_pos is None else tint_pos
+    qx = jnp.floor(tp[..., 0] / mat.proc_scale).astype(jnp.int32)
+    qy = jnp.floor(tp[..., 1] / mat.proc_scale).astype(jnp.int32)
+    qz = jnp.floor(tp[..., 2] / mat.proc_scale).astype(jnp.int32)
+    hsh = ((qx * jnp.int32(0x27D4EB2F))
+           ^ (qy * np.int32(np.uint32(0x9E3779B1)))
+           ^ (qz * np.int32(np.uint32(0x85EBCA6B))))
+    hsh = hsh ^ (hsh >> 15)
+    hsh = hsh * jnp.int32(0x165667B1)
+    hsh = hsh ^ (hsh >> 13)
+    variant = jnp.abs(hsh) % 5
+    tint = 1.0 + 0.08 * (variant.astype(jnp.float32) - 2.0)
+    out = jnp.where((mat.proc == PROC_CELL_TINT)[..., None],
+                    jnp.clip(base * tint[..., None], 0.0, 1.0), out)
 
     if textures is not None and textures.size > 0:
         tiles = jnp.maximum(1e-6, mat.uv_scale)

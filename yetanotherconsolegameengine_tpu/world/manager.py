@@ -52,7 +52,10 @@ class WorldManager:
     """
 
     def __init__(self, cfg: WorldConfig, block_lut: np.ndarray, source,
-                 n_workers: int = 4, cache_chunks: int = 512):
+                 n_workers: int = 4, cache_chunks: int = 512,
+                 transparent_banks: Optional[np.ndarray] = None,
+                 surface_merge_lut: Optional[np.ndarray] = None,
+                 surface_cap_clusters: int = 2048):
         self.cfg = cfg
         self.lut = np.asarray(block_lut, np.int16)
         self.source = source
@@ -83,7 +86,30 @@ class WorldManager:
             w.start()
         self.stats: Dict[str, int] = dict(generated=0, cache_hits=0,
                                           uploads=0, recenters=0,
-                                          stale_bailouts=0)
+                                          stale_bailouts=0, remeshes=0)
+        # Surface-mesh sink (world/surface.py): enabled when the caller
+        # supplies the per-bank transparency LUT (needed for the exposed-
+        # face rule). The dense window stays resident either way — physics
+        # and the DDA parity path read it.
+        self._surface: Optional["SurfaceClusterTable"] = None
+        if transparent_banks is not None:
+            from .surface import SurfaceClusterTable
+            h = cfg.voxel_size
+            wb = np.asarray([[0.0, 0.0, 0.0],
+                             [cfg.world_x * h, cfg.world_y * h,
+                              cfg.world_z * h]], np.float32)
+            self._surface = SurfaceClusterTable(surface_cap_clusters, wb)
+            self._transparent = np.asarray(transparent_banks, bool)
+            self._surf_merge = (None if surface_merge_lut is None
+                                else np.asarray(surface_merge_lut, np.int16))
+            self._surf_dirty: set = set()
+            # Coarse proxy for SECONDARY sweeps (shadow/bounce rays trace
+            # ~1/16 the quads; t_bias absorbs the pooled surface's
+            # deviation — same design as the hero-mesh LOD, scene/lod.py).
+            self._lod_factor = 4
+            self._surface_lod = SurfaceClusterTable(
+                max(64, surface_cap_clusters // 4), wb,
+                t_bias=(self._lod_factor * 1.75) * cfg.voxel_size)
 
     # -- worker side ---------------------------------------------------------
 
@@ -177,9 +203,125 @@ class WorldManager:
         for key in list(self._loaded - desired):
             self._evict(key)
 
+    # -- surface-mesh sink ---------------------------------------------------
+
+    def _neighbors(self, key: ChunkKey):
+        cx, cy, cz = key
+        for d in ((1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0),
+                  (0, 0, 1), (0, 0, -1)):
+            yield (cx + d[0], cy + d[1], cz + d[2])
+
+    def _mark_surf_dirty(self, key: ChunkKey, with_neighbors: bool = True):
+        """A chunk's mesh depends on its 1-cell shell: when it (or a
+        neighbor) changes, boundary faces appear/disappear, so the chunk
+        AND its loaded neighbors remesh. The dirty set dedups across a
+        drain batch."""
+        if self._surface is None:
+            return
+        self._surf_dirty.add(key)
+        if with_neighbors:
+            for nk in self._neighbors(key):
+                if nk in self._loaded:
+                    self._surf_dirty.add(nk)
+
+    def _padded_cells(self, key: ChunkKey) -> Optional[np.ndarray]:
+        """Chunk cells + 1-cell neighbor shell from the host mirror
+        (0 = air outside the window)."""
+        off = self._chunk_offset(key)
+        if off is None:
+            return None
+        C = self.cfg.chunk_size
+        x0, y0, z0 = off
+        out = np.zeros((C + 2, C + 2, C + 2), np.int16)
+        s = self._host.shape
+        sl_src, sl_dst = [], []
+        for o, n in ((x0, s[0]), (y0, s[1]), (z0, s[2])):
+            lo = max(o - 1, 0)
+            hi = min(o + C + 1, n)
+            sl_src.append(slice(lo, hi))
+            sl_dst.append(slice(lo - (o - 1), hi - (o - 1)))
+        out[tuple(sl_dst)] = self._host[tuple(sl_src)]
+        return out
+
+    def _coarse_padded(self, key: ChunkKey) -> Optional[np.ndarray]:
+        """Chunk region pooled by the LOD factor, with a 1-coarse-cell
+        shell (pool the host mirror on demand; window edges read air)."""
+        off = self._chunk_offset(key)
+        if off is None:
+            return None
+        from .surface import pool_cells
+        C = self.cfg.chunk_size
+        f = self._lod_factor
+        s = self._host.shape
+        region = np.zeros((C + 2 * f,) * 3, np.int16)
+        sl_src, sl_dst = [], []
+        for o, n in zip(off, s):
+            lo = max(o - f, 0)
+            hi = min(o + C + f, n)
+            sl_src.append(slice(lo, hi))
+            sl_dst.append(slice(lo - (o - f), hi - (o - f)))
+        region[tuple(sl_dst)] = self._host[tuple(sl_src)]
+        return pool_cells(region, f, merge_lut=self._surf_merge)
+
+    def _flush_surface(self):
+        """Remesh every dirty chunk (full + coarse-LOD) and batch-scatter
+        the cluster rows."""
+        if self._surface is None or not self._surf_dirty:
+            return
+        from .surface import greedy_mesh_chunk
+        C = self.cfg.chunk_size
+        h = self.cfg.voxel_size
+        f = self._lod_factor
+        empty = (np.zeros((0, 3, 3), np.float32), np.zeros(0, np.int32))
+        items = []
+        items_lod = []
+        for key in self._surf_dirty:
+            if key not in self._loaded:
+                items.append((key, *empty))
+                items_lod.append((key, *empty))
+                continue
+            padded = self._padded_cells(key)
+            if padded is None:
+                continue
+            tris, mats = greedy_mesh_chunk(
+                padded, self._transparent,
+                (key[0] * C, key[1] * C, key[2] * C), h,
+                merge_lut=self._surf_merge)
+            items.append((key, tris, mats))
+            # Coarse cells already carry merged ids (pool_cells applies
+            # the LUT), and merged ids are themselves bank ids, so the
+            # transparency LUT indexes them directly.
+            coarse = self._coarse_padded(key)
+            ctris, cmats = greedy_mesh_chunk(
+                coarse, self._transparent,
+                (key[0] * C // f, key[1] * C // f, key[2] * C // f),
+                h * f)
+            items_lod.append((key, ctris, cmats))
+            self.stats["remeshes"] += 1
+        self._surf_dirty.clear()
+        self._surface.update_chunks(items)
+        self._surface_lod.update_chunks(items_lod)
+
+    def surface_clusters(self):
+        """Device MeshClusters over every loaded chunk's exposed surface
+        (None when surface meshing is off)."""
+        if self._surface is None:
+            return None
+        self._flush_surface()
+        return self._surface.clusters()
+
+    def surface_clusters_lod(self):
+        """Coarse proxy cluster set for secondary sweeps (None when
+        surface meshing is off)."""
+        if self._surface is None:
+            return None
+        self._flush_surface()
+        return self._surface_lod.clusters()
+
     def _evict(self, key: ChunkKey):
         """Detach + LRU-cache a chunk (CacheChunk, WorldManager.cs:1107+)."""
         self._loaded.discard(key)
+        self._mark_surf_dirty(key)
         sl = self._chunk_slice(key)
         if sl is not None:
             self._cache[key] = self._host[sl].copy()
@@ -257,6 +399,7 @@ class WorldManager:
                                         jnp.asarray(cells), *off)
             self._loaded.add(key)
             self._occ_dirty = True
+            self._mark_surf_dirty(key)
             self.stats["uploads"] += 1
             applied += 1
         return applied

@@ -222,8 +222,20 @@ class VolumeScene:
                 self.pos[1] = (g if g is not None else 80.0) + EYE_HEIGHT
                 self.vel[:] = 0.0
 
-        scene = dataclasses.replace(self.base,
-                                    voxels=self.manager.voxel_world())
+        mc = self.manager.surface_clusters()
+        if mc is not None:
+            # Surface-mesh path (world/surface.py): the loaded chunks'
+            # exposed faces trace on the cluster-matmul engine; the dense
+            # voxel window stays host-side for physics only. Secondary
+            # sweeps (sun/moon shadows, diffuse bounces) trace the pooled
+            # coarse proxy.
+            scene = dataclasses.replace(
+                self.base, mesh_clusters=mc,
+                mesh_clusters_lod=self.manager.surface_clusters_lod(),
+                mesh_all_opaque=False)
+        else:
+            scene = dataclasses.replace(self.base,
+                                        voxels=self.manager.voxel_world())
         if self.day_night is not None:
             self.day_night.update(dt)
             pos, col, inten, top, bot = self.day_night.lights_and_sky(
@@ -259,7 +271,8 @@ def _j(x):
 def build_minecraft_like(cfg: Optional[WorldConfig] = None,
                          world_path: Optional[str] = None,
                          day_seconds: float = 120.0,
-                         regenerate: bool = False) -> VolumeScene:
+                         regenerate: bool = False,
+                         surface_mesh: bool = True) -> VolumeScene:
     """VolumeScenes.BuildMinecraftLike (VolumeScenes.cs:567-629): generate
     + save the island (VG01) if absent, reload memory-mapped, stream, and
     spawn on the surface. Default world is 256x128x256 voxels (8x4x8
@@ -281,9 +294,36 @@ def build_minecraft_like(cfg: Optional[WorldConfig] = None,
     s.add_light((0.0, 1000.0, 0.0), (1, 1, 1), 1.0)
     s.add_light((0.0, -1000.0, 0.0), (1, 1, 1), 0.0)
     s.binary_shadows = True
-    base = s.build()
 
-    manager = WorldManager(cfg, lut, WorldFile(world_path))
+    transparent_banks = merge_lut = None
+    if surface_mesh:
+        # One PROC_CELL_TINT surface material per block id: the mesher
+        # merges faces across meta-variant bank ids (which would shatter
+        # greedy rectangles ~10x) and shading restores the per-cell tint
+        # from the hit cell's position hash.
+        import dataclasses as _dc
+        from ..scene.materials import PROC_CELL_TINT
+        from ..scene.voxel_scenes import WATER
+        surf_id = np.zeros(N_BLOCKS, np.int16)
+        for b in range(1, N_BLOCKS):
+            m0 = block_material(b, 2)  # meta=2 is the unit-tint variant
+            if b != WATER:             # water flats read better untinted
+                m0 = _dc.replace(m0, proc=PROC_CELL_TINT,
+                                 proc_scale=cfg.voxel_size)
+            surf_id[b] = s.bank.add(m0)
+        # Per-bank transparency gates the exposed-face rule (a sand face
+        # exists under water; water-water faces don't).
+        transparent_banks = np.asarray(
+            [m.transparency > 0.0 for m in s.bank._mats], bool)
+        merge_lut = np.zeros(len(s.bank._mats), np.int16)
+        for b in range(1, N_BLOCKS):
+            for mm in range(lut.shape[1]):
+                merge_lut[lut[b, mm]] = surf_id[b]
+
+    base = s.build()
+    manager = WorldManager(cfg, lut, WorldFile(world_path),
+                           transparent_banks=transparent_banks,
+                           surface_merge_lut=merge_lut)
     # Spawn at world center on the surface.
     cx = cfg.world_x * cfg.voxel_size / 2
     cz = cfg.world_z * cfg.voxel_size / 2
