@@ -178,6 +178,37 @@ def main():
 
     from yetanotherconsolegameengine_tpu.world.volume_scene import (
         build_minecraft_like)
+
+    def bench_island_orbit(vs, label, n_frames=256):
+        """Sustained island number: the loaded world is static between
+        chunk arrivals (day/night only moves light scalars), so a camera
+        orbit rides the same render_many scan path as every static
+        config. This is the chip's island number; the interactive one
+        carries the ~30 ms/dispatch tunnel latency."""
+        from yetanotherconsolegameengine_tpu.render.renderer import (
+            RaytraceRenderer)
+        import math as _math
+        sc = vs.update(1.0 / 30.0)
+        rr = RaytraceRenderer(sc, fb_w=160, fb_h=90, ss=1, use_pallas=False)
+        eye = vs.pos.copy(); eye[1] += 6.0
+        poses = [(eye, _math.pi * 2 * i / 64, -0.35) for i in range(64)]
+        batch = (poses * ((n_frames + 63) // 64))[:n_frames]
+        grids, out = rr.render_many(len(batch), poses=batch)
+        _sync(grids[0])
+        rays = int(out.rays_traced)
+        t0 = time.perf_counter()
+        n_b = 2
+        for _ in range(n_b):
+            grids, out = rr.render_many(len(batch), poses=batch)
+        _sync(grids[0])
+        dt = (time.perf_counter() - t0) / (n_b * len(batch))
+        print(json.dumps({
+            "metric": f"{label} @160x90 ({rays} rays/frame)",
+            "fps": round(1.0 / dt, 1),
+            "mrays_per_s": round(rays / dt / 1e6, 2),
+            "pallas": False,
+        }), flush=True)
+
     vs = build_minecraft_like()
     # Settle the initial chunk load first: the island's interactive number
     # is the STEADY-STATE streamed-world frame (walking triggers at most a
@@ -186,37 +217,20 @@ def main():
     # "frames" that were mostly chunk uploads).
     vs.manager.ensure_all_loaded(vs.pos)
     vs.update(1.0 / 30.0)
-    bench_dynamic("Minecraft-like streamed island (DDA)",
+    bench_dynamic("Minecraft-like streamed island (surface clusters)",
                   lambda t: vs.update(1.0 / 30.0), 160, 90, n=12)
+    bench_island_orbit(vs, "Minecraft-like island orbit, sustained")
+    vs.manager.shutdown()
 
-    # Sustained island number: the loaded world is static between chunk
-    # arrivals (day/night only moves light scalars), so a camera orbit
-    # rides the same render_many scan path as every static config. This
-    # is the chip's island number; the interactive one above carries the
-    # ~30 ms/dispatch tunnel latency.
-    from yetanotherconsolegameengine_tpu.render.renderer import RaytraceRenderer
-    import math as _math
-    sc = vs.update(1.0 / 30.0)
-    rr = RaytraceRenderer(sc, fb_w=160, fb_h=90, ss=1, use_pallas=False)
-    eye = vs.pos.copy(); eye[1] += 6.0
-    poses = [(eye, _math.pi * 2 * i / 64, -0.35) for i in range(64)]
-    batch = poses * 4  # 256 frames/dispatch
-    grids, out = rr.render_many(len(batch), poses=batch)
-    _sync(grids[0])
-    rays = int(out.rays_traced)
-    t0 = time.perf_counter()
-    n_b = 2
-    for _ in range(n_b):
-        grids, out = rr.render_many(len(batch), poses=batch)
-    _sync(grids[0])
-    dt = (time.perf_counter() - t0) / (n_b * len(batch))
-    print(json.dumps({
-        "metric": f"Minecraft-like island orbit, sustained @160x90 "
-                  f"({rays} rays/frame)",
-        "fps": round(1.0 / dt, 1),
-        "mrays_per_s": round(rays / dt / 1e6, 2),
-        "pallas": False,
-    }), flush=True)
+    # Reference-parity record: the same island forced onto the voxel DDA
+    # (VolumeGrid.cs traversal semantics; also what surface_mesh=False
+    # users get). Fewer frames: ~70 ms/frame.
+    vs_dda = build_minecraft_like(surface_mesh=False)
+    vs_dda.manager.ensure_all_loaded(vs_dda.pos)
+    vs_dda.update(1.0 / 30.0)
+    bench_island_orbit(vs_dda, "Minecraft-like island orbit, forced DDA",
+                       n_frames=128)
+    vs_dda.manager.shutdown()
 
     bench_lbvh_rebuild()
 

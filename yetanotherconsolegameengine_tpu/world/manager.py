@@ -55,7 +55,7 @@ class WorldManager:
                  n_workers: int = 4, cache_chunks: int = 512,
                  transparent_banks: Optional[np.ndarray] = None,
                  surface_merge_lut: Optional[np.ndarray] = None,
-                 surface_cap_clusters: int = 2048):
+                 surface_cap_clusters: int = 1536):
         self.cfg = cfg
         self.lut = np.asarray(block_lut, np.int16)
         self.source = source
@@ -107,8 +107,11 @@ class WorldManager:
             # ~1/16 the quads; t_bias absorbs the pooled surface's
             # deviation — same design as the hero-mesh LOD, scene/lod.py).
             self._lod_factor = 4
+            # The interval cull tests every table row each sweep, so caps
+            # are perf-relevant: the default island window peaks ~1.1k
+            # full clusters / ~90 coarse (overflow is counted, not fatal).
             self._surface_lod = SurfaceClusterTable(
-                max(64, surface_cap_clusters // 4), wb,
+                max(64, surface_cap_clusters // 6), wb,
                 t_bias=(self._lod_factor * 1.75) * cfg.voxel_size)
 
     # -- worker side ---------------------------------------------------------
