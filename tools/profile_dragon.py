@@ -50,9 +50,14 @@ def main():
     mc_lod = scene.mesh_clusters_lod if use_lod else mc
     print(f"secondary set: {'LOD' if use_lod else 'full'} "
           f"({mc_lod.n_clusters} clusters, bias {mc_lod.t_bias:.4f})")
+    use_fine = (getattr(scene, "mesh_clusters_fine", None) is not None
+                and "nofine" not in sys.argv)
+    mc_prim = scene.mesh_clusters_fine if use_fine else mc
+    print(f"primary set: {'FINE' if use_fine else 'full'} "
+          f"({mc_prim.n_clusters} clusters)")
 
     def sweep_stats(o, d, tlo, thi, any_hit=False, secondary=False):
-        m = mc_lod if secondary else mc
+        m = mc_lod if secondary else mc_prim
         tlo = jnp.maximum(jnp.broadcast_to(jnp.asarray(tlo, jnp.float32),
                                            (o.shape[0],)),
                           jnp.float32(m.t_bias))

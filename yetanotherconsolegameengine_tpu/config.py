@@ -51,6 +51,9 @@ class RenderConfig:
     # only, visually indistinguishable at terminal resolutions, and the
     # defining lever for incoherent-sweep cost on ~600k-tri meshes.
     secondary_mesh_lod: bool = True
+    # Primary rays of ultra-dense hero meshes trace the sub-pixel fine
+    # proxy (scene.mesh_clusters_fine) when the scene ships one.
+    primary_mesh_lod: bool = True
 
     # Tone mapping (ToneMapper.cs:8-21)
     tone_exposure: float = 1.0

@@ -404,7 +404,7 @@ def intersect_triangles(tb, o, d, tmin, tmax) -> Hit:
 # -- whole scene --------------------------------------------------------------
 
 def intersect_scene(scene, o, d, tmin, tmax, shadow: bool = False,
-                    lod: bool = False) -> Hit:
+                    lod: bool = False, fine: bool = False) -> Hit:
     """Nearest hit across every primitive table (the TPU `Scene.Hit`,
     cf. Scenes/Scene.cs:71-75).
 
@@ -428,7 +428,11 @@ def intersect_scene(scene, o, d, tmin, tmax, shadow: bool = False,
     (scene.mesh_clusters_lod, built by scene/lod.py for big meshes), the
     mesh sweep traces it instead of the full set, with tmin clamped past
     the proxy's surface-deviation bias so origins on the full surface
-    never self-shadow against the displaced proxy skin."""
+    never self-shadow against the displaced proxy skin.
+
+    ``fine=True`` marks the PRIMARY population of an ultra-dense hero
+    mesh: trace the sub-pixel-faithful fine proxy
+    (scene.mesh_clusters_fine) when the scene ships one."""
     h = Hit.miss(o.shape[0])
     h = merge(h, intersect_spheres(scene.spheres, o, d, tmin, tmax))
     h = merge(h, intersect_boxes(scene.boxes, o, d, tmin, tmax))
@@ -445,11 +449,14 @@ def intersect_scene(scene, o, d, tmin, tmax, shadow: bool = False,
         from .mesh_clusters import intersect_clusters
         mc = scene.mesh_clusters
         lod_set = getattr(scene, "mesh_clusters_lod", None)
+        fine_set = getattr(scene, "mesh_clusters_fine", None)
         mc_tmin = tmin
         if lod and lod_set is not None:
             mc = lod_set
             mc_tmin = jnp.maximum(jnp.asarray(tmin, jnp.float32),
                                   jnp.float32(mc.t_bias))
+        elif fine and fine_set is not None:
+            mc = fine_set
         h = merge(h, intersect_clusters(
             mc, o, d, mc_tmin, t_clip,
             any_hit=bool(shadow and (scene.mesh_all_opaque

@@ -162,6 +162,8 @@ def trace_all(scene, o0, d0, rng0, cfg: RenderConfig) -> TraceResult:
     sigma_rad = cfg.diffuse_sigma_deg * math.pi / 180.0
     use_lod = (cfg.secondary_mesh_lod
                and getattr(scene, "mesh_clusters_lod", None) is not None)
+    use_fine = (cfg.primary_mesh_lod
+                and getattr(scene, "mesh_clusters_fine", None) is not None)
     # No transparent material anywhere -> no refraction push can ever fire
     # -> statically elide the (S, P) stack arrays (they cost ~14 ms/frame
     # at 64.8k rays in pure where-traffic even when never pushed).
@@ -230,7 +232,8 @@ def trace_all(scene, o0, d0, rng0, cfg: RenderConfig) -> TraceResult:
         # share a lax.cond (which XLA can flatten into executing BOTH
         # sweeps every round — measured ~20 ms/round on the dragon).
         hit = intersect_scene(scene, o_q, d, 1e-3, INF,
-                              lod=use_lod and lod_sweep)
+                              lod=use_lod and lod_sweep,
+                              fine=use_fine and not lod_sweep)
         m = gather_material(scene.materials, hit.mat)
         p = o + hit.t[:, None] * d
         uv = jnp.stack([hit.u, hit.v], axis=-1)

@@ -34,6 +34,14 @@ CLUSTER_MIN_TRIS = 16384
 # full mesh.
 LOD_TARGET_TRIS = 24576
 
+# PRIMARY-ray LOD proxy budget: hero meshes far above terminal-resolution
+# pixel density (the dragon carries ~70 tris/pixel at 240x135) also get a
+# geometrically faithful FINE proxy whose vertex-clustering cell is far
+# below a pixel footprint — primary rays trace it instead of the full set
+# (cfg.primary_mesh_lod gates per frame). Built only when the mesh exceeds
+# 3x this budget, so e.g. the 69k-tri bunny keeps tracing full-res.
+PRIMARY_LOD_TARGET_TRIS = 147456
+
 
 def _pad_rows(arr: np.ndarray, n: int) -> np.ndarray:
     pad = [(0, n - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
@@ -194,6 +202,10 @@ class SceneData:
     # populations, scene/lod.py); None when the mesh is small enough that
     # the full set is cheap. Selection happens in ops/trace.py.
     mesh_clusters_lod: Optional[Any] = None
+    # Fine proxy cluster set for PRIMARY rays of ultra-dense hero meshes
+    # (sub-pixel vertex clustering, see PRIMARY_LOD_TARGET_TRIS); None for
+    # meshes near or below screen pixel density.
+    mesh_clusters_fine: Optional[Any] = None
     # Does ANY material have transparency > 0? When False (known at scene
     # build), the wavefront trace statically elides its refraction stack —
     # the (S, P) stack arrays cost ~14 ms/frame at 64.8k rays even when no
@@ -387,6 +399,7 @@ class SceneBuilder:
         mesh = None
         mesh_clusters = None
         mesh_clusters_lod = None
+        mesh_clusters_fine = None
         if self._mesh_tris:
             tris = np.concatenate(
                 [np.asarray(t, f32).reshape(-1, 3, 3)
@@ -410,10 +423,20 @@ class SceneBuilder:
                              max(8192, tris.shape[0] // 4))
                 lod_tris, lod_mats, t_bias = simplify_soup(
                     tris, mat_ids, target)
+                # Fine PRIMARY proxy for ultra-dense meshes: vertex
+                # clustering at a sub-pixel cell. Its surface deviation
+                # (fine_bias) adds to the coarse proxy's t_bias because
+                # secondary-ray origins now sit on the fine surface.
+                fine_bias = 0.0
+                if tris.shape[0] >= 3 * PRIMARY_LOD_TARGET_TRIS:
+                    f_tris, f_mats, fine_bias = simplify_soup(
+                        tris, mat_ids, PRIMARY_LOD_TARGET_TRIS)
+                    mesh_clusters_fine = build_clusters(
+                        f_tris[:, 0], f_tris[:, 1], f_tris[:, 2], f_mats)
                 if lod_tris.shape[0] <= tris.shape[0] // 4:
                     mesh_clusters_lod = build_clusters(
                         lod_tris[:, 0], lod_tris[:, 1], lod_tris[:, 2],
-                        lod_mats, t_bias=t_bias)
+                        lod_mats, t_bias=t_bias + fine_bias)
             else:
                 # Sub-cluster meshes build ON DEVICE via the LBVH (Morton
                 # sort + complete-tree reduction, ops/lbvh.py) — the
@@ -444,6 +467,7 @@ class SceneBuilder:
             disks=disks, planes=planes, triangles=triangles,
             mesh=mesh, mesh_clusters=mesh_clusters,
             mesh_clusters_lod=mesh_clusters_lod,
+            mesh_clusters_fine=mesh_clusters_fine,
             voxels=self.voxels, lights=lights,
             ambient_color=jnp.asarray(self.ambient_color, jnp.float32),
             ambient_intensity=jnp.asarray(self.ambient_intensity, jnp.float32),
