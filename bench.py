@@ -35,6 +35,36 @@ def _sync(x):
     np.asarray(x[-1, 0, 0] if getattr(x, "ndim", 0) >= 3 else x)
 
 
+def wait_for_device(max_wait_s: float = 2700, poll_s: float = 120) -> bool:
+    """Block until the TPU backend answers a trivial probe (or time out).
+
+    The axon tunnel drops its lease for tens of minutes at a time (and a
+    client killed mid-program wedges the worker until lease timeout, ~30-40
+    min). The driver runs this benchmark unattended at round end, so wait
+    for the backend instead of failing. Each probe runs in a FRESH
+    subprocess: a backend-init failure poisons the importing process, and a
+    probe against a mid-recovery worker can hang for 20+ min — the
+    subprocess gets its own timeout.
+    """
+    import subprocess
+    import sys
+
+    probe = ("import jax, jax.numpy as jnp, numpy as np;"
+             "np.asarray((jnp.ones((8, 128)) @ jnp.ones((128, 128))).sum())")
+    deadline = time.time() + max_wait_s
+    while True:
+        try:
+            if subprocess.run([sys.executable, "-c", probe],
+                              capture_output=True,
+                              timeout=600).returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            return False
+        time.sleep(min(poll_s, max(1.0, deadline - time.time())))
+
+
 def main():
     from yetanotherconsolegameengine_tpu.render.renderer import RaytraceRenderer
     from yetanotherconsolegameengine_tpu.scene.builders import build_cornell_box
@@ -78,4 +108,5 @@ def main():
 
 
 if __name__ == "__main__":
+    wait_for_device()
     main()

@@ -236,4 +236,6 @@ def main():
 
 
 if __name__ == "__main__":
+    from bench import wait_for_device
+    wait_for_device()
     main()
