@@ -268,6 +268,24 @@ def test_wavefront_compaction_matches_uncompacted():
     np.testing.assert_allclose(imgs[True], imgs[False], atol=1e-5)
 
 
+def test_fine_proxy_only_for_ultra_dense(monkeypatch):
+    """Meshes below 3x PRIMARY_LOD_TARGET_TRIS (e.g. the 69k-tri bunny
+    regime) must NOT build a fine primary proxy — they trace full-res."""
+    import yetanotherconsolegameengine_tpu.scene.tables as tables_mod
+    from yetanotherconsolegameengine_tpu.scene.materials import Material
+    from yetanotherconsolegameengine_tpu.scene.mesh_loader import (
+        make_icosphere, transform_mesh)
+    from yetanotherconsolegameengine_tpu.scene.tables import SceneBuilder
+
+    monkeypatch.setattr(tables_mod, "CLUSTER_MIN_TRIS", 4096)
+    s = SceneBuilder("no_fine")
+    tris = transform_mesh(make_icosphere(4), normalize=True)  # 5120 tris
+    s.add_mesh_triangles(tris, Material.solid((0.8, 0.7, 0.6)))
+    sc = s.build()
+    assert sc.mesh_clusters is not None
+    assert sc.mesh_clusters_fine is None
+
+
 def test_primary_fine_lod_close_to_full(monkeypatch):
     """The sub-pixel fine proxy for primary rays renders within a small
     tolerance of the full-resolution trace, and cfg.primary_mesh_lod=False
