@@ -245,22 +245,30 @@ def test_tiny_island_surface_end_to_end(tmp_path):
 
 
 def test_wavefront_compaction_matches_uncompacted():
-    """The between-rounds wavefront compaction (ops/trace.py) reproduces
-    the uncompacted loop's image on a cluster scene (per-ray arithmetic is
+    """BOTH wavefront compaction levels (ops/trace.py) reproduce the
+    uncompacted loop's image on a cluster scene (per-ray arithmetic is
     order-independent; radiance summation order differs only when a lane
-    accumulates across the compaction boundary)."""
+    accumulates across a compaction boundary).
+
+    The pixel count must clear the compaction gates or this test compares
+    the uncompacted loop against itself (the original 48x24 version did
+    exactly that: P=2304 < the 4096 level-1 gate)."""
     import yetanotherconsolegameengine_tpu.ops.trace as trace_mod
     from yetanotherconsolegameengine_tpu.parallel.sharding import (
         cluster_test_scene)
     from yetanotherconsolegameengine_tpu.render.renderer import (
         RaytraceRenderer)
 
+    fb_w, fb_h = 64, 32
+    P = fb_w * (fb_h * 2)
+    assert P >= 4096           # level-1 gate (trace.py: P >= 4096)
+    assert (P // 2) // 4 >= 512  # level-2 gate (trace.py: Pc // 4 >= 512)
     sc = cluster_test_scene(subdiv=3)
     imgs = {}
     try:
         for flag in (True, False):
             trace_mod.WAVEFRONT_COMPACTION = flag
-            r = RaytraceRenderer(sc, fb_w=48, fb_h=24, ss=1,
+            r = RaytraceRenderer(sc, fb_w=fb_w, fb_h=fb_h, ss=1,
                                  use_pallas=False)
             imgs[flag] = np.asarray(r.render().top_rgb)
     finally:

@@ -404,16 +404,48 @@ def trace_all(scene, o0, d0, rng0, cfg: RenderConfig) -> TraceResult:
                and P >= 4096)
     if compact:
         Pc = P // 2
-        order = jnp.argsort(jnp.where(st["active"], 0, 1)
-                            .astype(jnp.int32), stable=True)
         keep_scalar = ("round", "rays")
-        for idx in (order[:Pc], order[Pc:]):
+
+        def gather_batch(src, idx):
             sub = {k: (v if k in keep_scalar else
                        (v[:, idx] if k.startswith("st_") else v[idx]))
-                   for k, v in st.items()}
+                   for k, v in src.items()}
             sub["radiance"] = jnp.zeros((idx.shape[0], 3), jnp.float32)
-            sub = jax.lax.while_loop(cond,
-                                     lambda s: body(s, lod_sweep=True), sub)
+            return sub
+
+        def active_order(src):
+            return jnp.argsort(jnp.where(src["active"], 0, 1)
+                               .astype(jnp.int32), stable=True)
+
+        body_lod = lambda s: body(s, lod_sweep=True)
+        order = active_order(st)
+        for bi, idx in enumerate((order[:Pc], order[Pc:])):
+            sub = gather_batch(st, idx)
+            if bi == 0 and Pc // 4 >= 512:
+                # SECOND compaction level: round 1 (the first LOD round —
+                # bounce/mirror/refraction shading of the primary hits) runs
+                # at Pc, then its survivors (mirror chains and stack pops;
+                # measured a few % of P) repack into Pc//4 = P//8, so every
+                # round >= 2 pays 1/8-width sort/cull/shadow/shading instead
+                # of 1/2. Same overflow contract as level 1: the 3P/8 tail
+                # batch zero-trips when empty, so a pose with >P/8 survivors
+                # degrades to the old cost rather than dropping energy. Only
+                # the actives-packed first batch nests — the level-1
+                # overflow batch is already the rare case.
+                # Round 0 is peeled, so every lane enters here at round == 1:
+                # run exactly round 1 (zero-trips when the batch is empty).
+                sub = jax.lax.while_loop(
+                    lambda s: cond(s) & (s["round"] < 2), body_lod, sub)
+                Pc2 = Pc // 4
+                order2 = active_order(sub)
+                for idx2 in (order2[:Pc2], order2[Pc2:]):
+                    sub2 = gather_batch(sub, idx2)
+                    sub2 = jax.lax.while_loop(cond, body_lod, sub2)
+                    sub["radiance"] = (sub["radiance"]
+                                       .at[idx2].add(sub2["radiance"]))
+                    sub["rays"] = sub2["rays"]
+            else:
+                sub = jax.lax.while_loop(cond, body_lod, sub)
             st["radiance"] = st["radiance"].at[idx].add(sub["radiance"])
             st["rays"] = sub["rays"]
     else:
