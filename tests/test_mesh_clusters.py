@@ -202,3 +202,20 @@ def test_dense_single_origin_exact():
     both = hit_b & hit_c
     np.testing.assert_allclose(np.asarray(h.t)[both], np.asarray(tb)[both],
                                rtol=1e-5, atol=1e-5)
+
+
+def test_presort_off_is_bit_identical():
+    """presort=False (tiles = caller lane order, no binning sort) must
+    return EXACTLY the same hits as the binned path: tiling shapes only
+    the conservative cull lists and the early-exit bound, never the
+    per-ray winner (ops/mesh_clusters._intersect_impl)."""
+    a, b, c, mat = _mesh()
+    mc = build_clusters(a, b, c, mat)
+    o, d = _rays(n=701, seed=3)   # non-multiple of TILE: exercises padding
+    hs = intersect_clusters(mc, o, d, 1e-3, INF, interpret=True)
+    hn = intersect_clusters(mc, o, d, 1e-3, INF, interpret=True,
+                            presort=False)
+    np.testing.assert_array_equal(np.asarray(hs.hit), np.asarray(hn.hit))
+    np.testing.assert_array_equal(np.asarray(hs.t), np.asarray(hn.t))
+    np.testing.assert_array_equal(np.asarray(hs.mat), np.asarray(hn.mat))
+    np.testing.assert_array_equal(np.asarray(hs.n), np.asarray(hn.n))

@@ -17,14 +17,14 @@ from yetanotherconsolegameengine_tpu.scene.materials import gather_material
 
 REPS = 10
 
-def timeit(label, mc, o, d, tlo, thi, any_hit=False):
+def timeit(label, mc, o, d, tlo, thi, any_hit=False, presort=True):
     o, d = jnp.asarray(o), jnp.asarray(d)
     tlo, thi = jnp.asarray(tlo), jnp.asarray(thi)
     def runner(n):
         @jax.jit
         def f(o, d, tlo, thi):
             def body(c, _):
-                h = _intersect_impl(mc, o, d, tlo + c*0, thi, any_hit=any_hit)
+                h = _intersect_impl(mc, o, d, tlo + c*0, thi, any_hit=any_hit, presort=presort)
                 return jnp.sum(h.t * 0) + jnp.float32(1e-9) * jnp.sum(h.hit), None
             c, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
             return c
@@ -33,7 +33,7 @@ def timeit(label, mc, o, d, tlo, thi, any_hit=False):
         return time.perf_counter() - t0
     t1 = runner(1); tn = runner(1 + REPS)
     ms = (tn - t1) / REPS * 1000
-    h, (visits, lens, _) = _intersect_impl(mc, o, d, tlo, thi, stats=True, any_hit=any_hit)
+    h, (visits, lens, _) = _intersect_impl(mc, o, d, tlo, thi, stats=True, any_hit=any_hit, presort=presort)
     v = int(np.asarray(visits).sum())
     print(f"{label:24s} {ms:8.2f} ms  visits={v:6d}  ns/visit={ms*1e6/max(v,1):7.0f}", flush=True)
 
@@ -77,12 +77,27 @@ def main():
     P = o.shape[0]
     print(f"P={P} shadowP={so.shape[0]}", flush=True)
     bias = np.float32(mcl.t_bias)
-    timeit("primary full(clip)", mc, o, d, np.full(P, 1e-3, np.float32), pclip)
-    timeit("shadow r0 LOD anyhit", mcl, so, sd, np.maximum(np.full(so.shape[0], 1e-3, np.float32), bias), smax, any_hit=True)
-    timeit("bounce LOD (clip)", mcl, bo, bdir, np.maximum(np.full(P, 1e-3, np.float32), bias), bclip)
+    mcf = getattr(scene, "mesh_clusters_fine", None) or mc
+    tlo_p = np.full(P, 1e-3, np.float32)
+    tlo_s = np.maximum(np.full(so.shape[0], 1e-3, np.float32), bias)
+    tlo_b = np.maximum(np.full(P, 1e-3, np.float32), bias)
+    # presort A/B: primary rays are image-ordered and shadow-ray origins
+    # are image-ordered primary hits, so skipping the binning sort may
+    # beat paying it; bounce directions are cosine-random (control).
+    for ps in (True, False):
+        tag = "sort" if ps else "nosort"
+        timeit(f"primary fine ({tag})", mcf, o, d, tlo_p, pclip, presort=ps)
+        timeit(f"shadow r0 LOD anyhit ({tag})", mcl, so, sd, tlo_s, smax,
+               any_hit=True, presort=ps)
+        timeit(f"bounce LOD ({tag})", mcl, bo, bdir, tlo_b, bclip, presort=ps)
+    timeit("primary full(clip)", mc, o, d, tlo_p, pclip)
     # fixed-cost floor: all rays inactive at shadow width
     dead = np.full_like(so, 2.9e30)
-    timeit("empty sweep @130k", mcl, dead, sd, np.full(so.shape[0], 1e-3, np.float32), np.zeros(so.shape[0], np.float32), any_hit=True)
+    for ps in (True, False):
+        tag = "sort" if ps else "nosort"
+        timeit(f"empty sweep @130k ({tag})", mcl, dead, sd,
+               np.full(so.shape[0], 1e-3, np.float32),
+               np.zeros(so.shape[0], np.float32), any_hit=True, presort=ps)
 
 if __name__ == "__main__":
     main()

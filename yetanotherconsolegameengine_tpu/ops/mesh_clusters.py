@@ -498,9 +498,10 @@ def _sort_keys(o, d, active, bounds):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "stats", "any_hit"))
+                   static_argnames=("interpret", "stats", "any_hit",
+                                    "presort"))
 def _intersect_impl(mc: MeshClusters, o, d, t_lo, t_hi, interpret=False,
-                    stats=False, any_hit=False):
+                    stats=False, any_hit=False, presort=True):
     P = o.shape[0]
     T = TILE
     Pp = ((P + T - 1) // T) * T
@@ -526,14 +527,27 @@ def _intersect_impl(mc: MeshClusters, o, d, t_lo, t_hi, interpret=False,
         t_hi = jnp.pad(t_hi, (0, pad))
         active = jnp.pad(active, (0, pad))
 
-    key = _sort_keys(o, d, active, mc.bounds)
-    iota = jnp.arange(Pp, dtype=jnp.int32)
-    _, sidx = jax.lax.sort([key, iota], num_keys=1, is_stable=True)
-    o_s = o[sidx]
-    d_s = d[sidx]
-    tlo_s = t_lo[sidx]
-    thi_s = t_hi[sidx]
-    act_s = active[sidx]
+    # ``presort=False`` keeps the caller's lane order: tiles are 256
+    # CONSECUTIVE lanes, and the whole binning infrastructure (key
+    # compute, Pp-wide stable sort, 5 sorted gathers, the output unsort
+    # scatter) drops out. Results are BIT-IDENTICAL either way — tiling
+    # only shapes the conservative cull lists and the early-exit bound;
+    # the per-ray winner min and the exact resolve are order-independent.
+    # It pays when the population is already spatially coherent AND its
+    # fixed sort cost rivals its visit cost (e.g. point-light shadow rays:
+    # origins are image-ordered primary hits, directions converge on the
+    # light).
+    if presort:
+        key = _sort_keys(o, d, active, mc.bounds)
+        iota = jnp.arange(Pp, dtype=jnp.int32)
+        _, sidx = jax.lax.sort([key, iota], num_keys=1, is_stable=True)
+        o_s = o[sidx]
+        d_s = d[sidx]
+        tlo_s = t_lo[sidx]
+        thi_s = t_hi[sidx]
+        act_s = active[sidx]
+    else:
+        o_s, d_s, tlo_s, thi_s, act_s = o, d, t_lo, t_hi, active
 
     n_tiles = Pp // T
     o_t = o_s.reshape(n_tiles, T, 3)
@@ -569,9 +583,13 @@ def _intersect_impl(mc: MeshClusters, o, d, t_lo, t_hi, interpret=False,
 
     # Unsort the two winner words (scatter by sidx), then resolve
     # attributes in original ray order.
-    unsort = jnp.zeros((Pp,), jnp.int32).at[sidx].set(iota)
-    packed = out[0, :][unsort][:P]
-    cid = out[1, :][unsort][:P]
+    if presort:
+        unsort = jnp.zeros((Pp,), jnp.int32).at[sidx].set(iota)
+        packed = out[0, :][unsort][:P]
+        cid = out[1, :][unsort][:P]
+    else:
+        packed = out[0, :P]
+        cid = out[1, :P]
 
     hit = cid >= 0
     if any_hit:
@@ -627,18 +645,21 @@ def _intersect_impl(mc: MeshClusters, o, d, t_lo, t_hi, interpret=False,
 
 
 def intersect_clusters(mc: MeshClusters, o, d, tmin, tmax,
-                       interpret: bool = None, any_hit: bool = False) -> Hit:
+                       interpret: bool = None, any_hit: bool = False,
+                       presort: bool = True) -> Hit:
     """Hit query over the cluster tables. o/d: (P, 3); tmin/tmax scalar
     or (P,). Matches intersect_mesh semantics (double-sided, normal flipped
     against the ray). ``interpret=None`` auto-selects the Pallas
     interpreter off-TPU (CPU CI). ``any_hit=True`` (valid only when every
     mesh material is opaque) returns SOME blocking hit per ray instead of
     the nearest: shadow transmittance zeroes on any opaque blocker, and
-    fully shadowed tiles then exit after their first blocking cluster."""
+    fully shadowed tiles then exit after their first blocking cluster.
+    ``presort=False`` skips ray binning and tiles the caller's lane order
+    directly (bit-identical results; see _intersect_impl)."""
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
     P = o.shape[0]
     t_lo = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (P,))
     t_hi = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (P,))
     return _intersect_impl(mc, o, d, t_lo, t_hi, interpret=interpret,
-                           any_hit=any_hit)
+                           any_hit=any_hit, presort=presort)
