@@ -90,6 +90,16 @@ def main():
         timeit(f"shadow r0 LOD anyhit ({tag})", mcl, so, sd, tlo_s, smax,
                any_hit=True, presort=ps)
         timeit(f"bounce LOD ({tag})", mcl, bo, bdir, tlo_b, bclip, presort=ps)
+    # L-major lane order (each light's rays contiguous) for the unsorted
+    # shadow sweep: an interleaved 256-lane tile mixes rays to L lights
+    # (wide direction intervals); L-major tiles converge on ONE light.
+    Lp = so.shape[0] // P
+    som = so.reshape(P, Lp, 3).transpose(1, 0, 2).reshape(-1, 3)
+    sdm = sd.reshape(P, Lp, 3).transpose(1, 0, 2).reshape(-1, 3)
+    smaxm = smax.reshape(P, Lp).T.reshape(-1)
+    tlosm = tlo_s.reshape(P, Lp).T.reshape(-1)
+    timeit("shadow r0 Lmajor (nosort)", mcl, som, sdm, tlosm, smaxm,
+           any_hit=True, presort=False)
     timeit("primary full(clip)", mc, o, d, tlo_p, pclip)
     # fixed-cost floor: all rays inactive at shadow width
     dead = np.full_like(so, 2.9e30)
