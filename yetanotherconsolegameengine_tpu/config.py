@@ -54,6 +54,15 @@ class RenderConfig:
     # Primary rays of ultra-dense hero meshes trace the sub-pixel fine
     # proxy (scene.mesh_clusters_fine) when the scene ships one.
     primary_mesh_lod: bool = True
+    # Cluster-sweep ray binning (ops/mesh_clusters.py presort): the
+    # stable sort + gathers + unsort cost a fixed ~6.7 ms at 130k lanes.
+    # Populations that are ALREADY coherent in lane order can skip it
+    # bit-identically: primary rays are image-ordered; shadow-ray origins
+    # are image-ordered hit points converging on a light. Bounce sweeps
+    # (cosine-random directions) always sort. Defaults pending hardware
+    # A/B (tools/time_sweeps.py).
+    presort_primary: bool = True
+    presort_shadow: bool = True
 
     # Tone mapping (ToneMapper.cs:8-21)
     tone_exposure: float = 1.0

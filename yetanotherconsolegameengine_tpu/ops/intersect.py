@@ -404,7 +404,8 @@ def intersect_triangles(tb, o, d, tmin, tmax) -> Hit:
 # -- whole scene --------------------------------------------------------------
 
 def intersect_scene(scene, o, d, tmin, tmax, shadow: bool = False,
-                    lod: bool = False, fine: bool = False) -> Hit:
+                    lod: bool = False, fine: bool = False,
+                    presort: bool = True) -> Hit:
     """Nearest hit across every primitive table (the TPU `Scene.Hit`,
     cf. Scenes/Scene.cs:71-75).
 
@@ -432,7 +433,12 @@ def intersect_scene(scene, o, d, tmin, tmax, shadow: bool = False,
 
     ``fine=True`` marks the PRIMARY population of an ultra-dense hero
     mesh: trace the sub-pixel-faithful fine proxy
-    (scene.mesh_clusters_fine) when the scene ships one."""
+    (scene.mesh_clusters_fine) when the scene ships one.
+
+    ``presort=False`` skips the cluster sweep's ray-binning sort and
+    tiles the caller's lane order directly (bit-identical results; for
+    populations already coherent in lane order — see RenderConfig
+    presort_primary / presort_shadow)."""
     h = Hit.miss(o.shape[0])
     h = merge(h, intersect_spheres(scene.spheres, o, d, tmin, tmax))
     h = merge(h, intersect_boxes(scene.boxes, o, d, tmin, tmax))
@@ -460,7 +466,8 @@ def intersect_scene(scene, o, d, tmin, tmax, shadow: bool = False,
         h = merge(h, intersect_clusters(
             mc, o, d, mc_tmin, t_clip,
             any_hit=bool(shadow and (scene.mesh_all_opaque
-                                     or scene.binary_shadows))))
+                                     or scene.binary_shadows)),
+            presort=presort))
     if scene.voxels is not None:
         from .dda import intersect_voxels
         t_clip = jnp.minimum(t_clip, h.t + 1e-3)

@@ -107,7 +107,7 @@ def transmittance_to_lights(scene, so, sd, max_dist, need, cfg: RenderConfig,
     if scene.binary_shadows:
         def occluded(_):
             h = intersect_scene(scene, so, sd, 1e-3, max_dist, shadow=True,
-                                lod=lod)
+                                lod=lod, presort=cfg.presort_shadow)
             return jnp.where(h.hit[:, None], 0.0, jnp.ones_like(so))
 
         trans = jax.lax.cond(jnp.any(need), occluded,
@@ -120,7 +120,7 @@ def transmittance_to_lights(scene, so, sd, max_dist, need, cfg: RenderConfig,
     def body(st):
         rays = st["rays"] + jnp.sum((need & ~st["done"]).astype(jnp.int32))
         h = intersect_scene(scene, so, sd, st["tmin"], max_dist, shadow=True,
-                            lod=lod)
+                            lod=lod, presort=cfg.presort_shadow)
         m = gather_material(scene.materials, h.mat)
         done = st["done"]
         trans = st["trans"]
@@ -233,7 +233,11 @@ def trace_all(scene, o0, d0, rng0, cfg: RenderConfig) -> TraceResult:
         # sweeps every round — measured ~20 ms/round on the dragon).
         hit = intersect_scene(scene, o_q, d, 1e-3, INF,
                               lod=use_lod and lod_sweep,
-                              fine=use_fine and not lod_sweep)
+                              fine=use_fine and not lod_sweep,
+                              # Round 0 is image-ordered; later rounds mix
+                              # mirror/pop/bounce continuations -> bin them.
+                              presort=(True if lod_sweep
+                                       else cfg.presort_primary))
         m = gather_material(scene.materials, hit.mat)
         p = o + hit.t[:, None] * d
         uv = jnp.stack([hit.u, hit.v], axis=-1)
