@@ -205,10 +205,12 @@ def test_dense_single_origin_exact():
 
 
 def test_presort_off_is_bit_identical():
-    """presort=False (tiles = caller lane order, no binning sort) must
-    return EXACTLY the same hits as the binned path: tiling shapes only
-    the conservative cull lists and the early-exit bound, never the
-    per-ray winner (ops/mesh_clusters._intersect_impl)."""
+    """presort=False (tiles = caller lane order, no binning sort) returns
+    the same hits as the binned path: tiling shapes only the conservative
+    cull lists and the early-exit bound. The one legitimate divergence is
+    packed-t ties across clusters (winner follows visit order); this
+    fixed mesh/ray set has none, so exact equality holds and any future
+    inequality here means a REAL winner-tracking bug, not a tie."""
     a, b, c, mat = _mesh()
     mc = build_clusters(a, b, c, mat)
     o, d = _rays(n=701, seed=3)   # non-multiple of TILE: exercises padding

@@ -337,3 +337,36 @@ def test_primary_fine_lod_close_to_full(monkeypatch):
     d = np.abs(a - b)
     assert d.mean() < 0.05, float(d.mean())
     assert (d > 0.3).mean() < 0.03, float((d > 0.3).mean())
+
+
+def test_block_order_primary_matches_default():
+    """16x16 pixel-block lane order (cfg.block_order_primary, paired with
+    presort_primary=False) renders the same image as the default binned
+    order, up to packed-t tie-breaks on cluster-boundary edges (a handful
+    of pixels at <1e-4), including when the row count pads to 16."""
+    import dataclasses
+
+    from yetanotherconsolegameengine_tpu.config import DEFAULT_CONFIG
+    from yetanotherconsolegameengine_tpu.parallel.sharding import (
+        cluster_test_scene)
+    from yetanotherconsolegameengine_tpu.render.renderer import (
+        RaytraceRenderer)
+
+    sc = cluster_test_scene(subdiv=3)
+    for fbw, fbh in ((48, 20),):   # hi 48x40 -> rows pad to 48
+        imgs = {}
+        rays = {}
+        for bo in (False, True):
+            cfg = dataclasses.replace(DEFAULT_CONFIG,
+                                      block_order_primary=bo,
+                                      presort_primary=not bo)
+            r = RaytraceRenderer(sc, fb_w=fbw, fb_h=fbh, ss=1,
+                                 use_pallas=False, cfg=cfg)
+            out = r.render()
+            imgs[bo] = np.asarray(out.top_rgb).astype(np.float32)
+            rays[bo] = int(out.rays_traced)
+        assert rays[False] == rays[True]   # dead pad lanes excluded
+        d = np.abs(imgs[False] - imgs[True])
+        assert float(d.max()) < 1e-3
+        frac = float((d.max(axis=-1) > 0).mean())
+        assert frac < 0.02, f"{frac:.3f} of pixels differ"

@@ -63,6 +63,12 @@ class RenderConfig:
     # A/B (tools/time_sweeps.py).
     presort_primary: bool = True
     presort_shadow: bool = True
+    # Feed the cluster trace in 16x16 pixel-BLOCK lane order (pure static
+    # layout transforms, no sort): with presort_primary=False each primary
+    # tile is then a square pixel block with a tight frustum, instead of a
+    # 256-lane row strip. Row count pads to a multiple of 16 with dead
+    # lanes (subtracted from rays_traced). Off until the hardware A/B.
+    block_order_primary: bool = False
 
     # Tone mapping (ToneMapper.cs:8-21)
     tone_exposure: float = 1.0

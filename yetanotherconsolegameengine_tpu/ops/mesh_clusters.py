@@ -530,13 +530,15 @@ def _intersect_impl(mc: MeshClusters, o, d, t_lo, t_hi, interpret=False,
     # ``presort=False`` keeps the caller's lane order: tiles are 256
     # CONSECUTIVE lanes, and the whole binning infrastructure (key
     # compute, Pp-wide stable sort, 5 sorted gathers, the output unsort
-    # scatter) drops out. Results are BIT-IDENTICAL either way — tiling
-    # only shapes the conservative cull lists and the early-exit bound;
-    # the per-ray winner min and the exact resolve are order-independent.
-    # It pays when the population is already spatially coherent AND its
-    # fixed sort cost rivals its visit cost (e.g. point-light shadow rays:
-    # origins are image-ordered primary hits, directions converge on the
-    # light).
+    # scatter) drops out. Tiling shapes only the conservative cull lists
+    # and the early-exit bound, so per-ray results are identical UP TO
+    # packed-t ties: when two triangles in different clusters quantize to
+    # the same 24-bit t (shared edges on cluster boundaries), the winner
+    # follows the tile's near-to-far visit order — measured a handful of
+    # boundary pixels at <1e-4 image delta. It pays when the population
+    # is already spatially coherent AND its fixed sort cost rivals its
+    # visit cost (e.g. point-light shadow rays: origins are image-ordered
+    # primary hits, directions converge on the light).
     if presort:
         key = _sort_keys(o, d, active, mc.bounds)
         iota = jnp.arange(Pp, dtype=jnp.int32)

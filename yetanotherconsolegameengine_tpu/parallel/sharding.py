@@ -98,11 +98,14 @@ def cluster_test_scene(subdiv: int = 4):
     s.add_xz_rect(-6.0, 6.0, -6.0, 3.0, 0.0,
                   Material.checker((0.8, 0.8, 0.8), (0.2, 0.2, 0.2), 0.8))
     s.add_light((2.0, 4.0, 2.0), (1.0, 1.0, 1.0), 60.0)
-    # Mirror sphere: keeps some paths alive into rounds >= 2 (mirror bounce
-    # -> diffuse shade -> cosine bounce) so the SECOND wavefront-compaction
-    # level in ops/trace.py traces real work, not a zero-trip.
+    # Mirror + glass spheres: keep paths alive into rounds >= 2 (mirror
+    # bounce -> diffuse shade -> cosine bounce) and force use_stack=True
+    # (refraction pushes/pops), so the wavefront-compaction levels in
+    # ops/trace.py gather REAL stack columns across both boundaries —
+    # the island's water path depends on exactly that.
     s.add_sphere((1.6, 0.6, -2.0), 0.6,
                  Material.solid((0.95, 0.95, 0.95), reflectivity=1.0))
+    s.add_sphere((-1.5, 0.5, -1.2), 0.5, Material.glass())
     tris = transform_mesh(make_icosphere(subdiv), normalize=True, scale=1.4,
                           translate=(0.0, 0.9, -2.5))
     s.add_mesh_triangles(tris, Material.solid((0.9, 0.85, 0.8)))

@@ -147,9 +147,48 @@ def frame_step(scene: SceneData, cam: CameraPose, state: FrameState,
             px = jax.lax.broadcasted_iota(jnp.uint32, (hi_h, hi_w), 1)
             py = jax.lax.broadcasted_iota(jnp.uint32, (hi_h, hi_w), 0)
             seed = sampler.per_frame_seed(px, py, frame_idx, cfg.seed_salt)
-            res = trace.trace_all(
-                scene, o.reshape(-1, 3), d.reshape(-1, 3),
-                (seed[0].reshape(-1), seed[1].reshape(-1)), cfg)
+            use_blocks = (cfg.block_order_primary
+                          and scene.mesh_clusters is not None
+                          and hi_w % 16 == 0)
+            if use_blocks:
+                # 16x16 pixel-block lane order: the cluster sweep's tiles
+                # (TILE=256 consecutive lanes) become square pixel blocks
+                # with tight frusta instead of full-width row strips —
+                # pure layout transforms, no sort (pairs with
+                # presort_primary=False). Rows pad to a multiple of 16
+                # with dead lanes (killed by the global-AABB prefilter in
+                # round 0 and excluded from the semantic ray count).
+                hp16 = (hi_h + 15) // 16 * 16
+
+                def to_blocks(x, fill):
+                    if hp16 != hi_h:
+                        pad = [(0, hp16 - hi_h), (0, 0)]
+                        pad += [(0, 0)] * (x.ndim - 2)
+                        x = jnp.pad(x, pad, constant_values=fill)
+                    tail = x.shape[2:]
+                    x = x.reshape(hp16 // 16, 16, hi_w // 16, 16, *tail)
+                    return jnp.moveaxis(x, 1, 2).reshape(hp16 * hi_w, *tail)
+
+                def from_blocks(x):
+                    tail = x.shape[1:]
+                    x = x.reshape(hp16 // 16, hi_w // 16, 16, 16, *tail)
+                    x = jnp.moveaxis(x, 2, 1).reshape(hp16, hi_w, *tail)
+                    return x[:hi_h].reshape(hi_h * hi_w, *tail)
+
+                rb = trace.trace_all(
+                    scene, to_blocks(o, 2.9e30), to_blocks(d, 1.0),
+                    (to_blocks(seed[0], 0), to_blocks(seed[1], 0)), cfg)
+                res = trace.TraceResult(
+                    radiance=from_blocks(rb.radiance),
+                    is_sky=from_blocks(rb.is_sky),
+                    albedo=from_blocks(rb.albedo),
+                    normal=from_blocks(rb.normal),
+                    depth=from_blocks(rb.depth),
+                    rays_traced=rb.rays_traced - (hp16 - hi_h) * hi_w)
+            else:
+                res = trace.trace_all(
+                    scene, o.reshape(-1, 3), d.reshape(-1, 3),
+                    (seed[0].reshape(-1), seed[1].reshape(-1)), cfg)
         rays_traced = res.rays_traced
         g_depth = jnp.where(res.depth.reshape(hi_h, hi_w) >= INF,
                             jnp.float32(3.4e38),
