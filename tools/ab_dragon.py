@@ -1,0 +1,49 @@
+"""Frame-level A/B of cluster-trace lane-order knobs on the dragon.
+
+Runs the real frame step (render_many scans) under config variants and
+prints sustained fps per variant. Usage:
+
+    python tools/ab_dragon.py [variant ...]   # default: base block
+
+Variants: base | block | nosortP | nosortS | exit4
+"""
+import dataclasses, sys, time
+import numpy as np
+
+sys.path.insert(0, ".")
+from yetanotherconsolegameengine_tpu.config import DEFAULT_CONFIG
+from yetanotherconsolegameengine_tpu.scene.builders import SCENE_BUILDERS
+from yetanotherconsolegameengine_tpu.render.renderer import RaytraceRenderer
+
+VARIANTS = {
+    "base": {},            # current defaults (block order ON)
+    "block": dict(block_order_primary=True),
+    "noblock": dict(block_order_primary=False),
+    "nosortP": dict(block_order_primary=False, presort_primary=False),
+    "nosortS": dict(presort_shadow=False),
+}
+
+
+def run(scene, name, batch=48, n_batches=2):
+    cfg = dataclasses.replace(DEFAULT_CONFIG, **VARIANTS[name])
+    r = RaytraceRenderer(scene, fb_w=240, fb_h=135, cfg=cfg)
+    grids, out = r.render_many(batch)
+    np.asarray(grids[0][-1, 0, 0])
+    t0 = time.perf_counter()
+    for _ in range(n_batches):
+        grids, out = r.render_many(batch)
+    np.asarray(grids[0][-1, 0, 0])
+    dt = (time.perf_counter() - t0) / (n_batches * batch)
+    print(f"{name:10s} {1.0/dt:6.2f} fps  ({dt*1000:.2f} ms/frame)",
+          flush=True)
+
+
+def main():
+    names = sys.argv[1:] or ["base", "block"]
+    scene = SCENE_BUILDERS["dragon"]()
+    for name in names:
+        run(scene, name)
+
+
+if __name__ == "__main__":
+    main()

@@ -56,19 +56,23 @@ class RenderConfig:
     primary_mesh_lod: bool = True
     # Cluster-sweep ray binning (ops/mesh_clusters.py presort): the
     # stable sort + gathers + unsort cost a fixed ~6.7 ms at 130k lanes.
-    # Populations that are ALREADY coherent in lane order can skip it
-    # bit-identically: primary rays are image-ordered; shadow-ray origins
-    # are image-ordered hit points converging on a light. Bounce sweeps
-    # (cosine-random directions) always sort. Defaults pending hardware
-    # A/B (tools/time_sweeps.py).
+    # Hardware A/B (tools/time_sweeps.py, dragon @240x135): the binned
+    # order wins EVERY population despite that fixed cost — primary fine
+    # 12.1 ms sorted vs 32.6 unsorted (row-strip tiles span the whole
+    # image width), shadow 12.4 vs 18.4 (and vs 21.5 L-major), bounce
+    # 10.5 vs 30.3 — so both stay True. ``presort_primary`` only applies
+    # when the 16x16 block order below is inapplicable (renderer.py forces
+    # it off when blocks are active, which beat the sorted order at frame
+    # level 23.5 vs 20.5 fps).
     presort_primary: bool = True
     presort_shadow: bool = True
     # Feed the cluster trace in 16x16 pixel-BLOCK lane order (pure static
-    # layout transforms, no sort): with presort_primary=False each primary
-    # tile is then a square pixel block with a tight frustum, instead of a
-    # 256-lane row strip. Row count pads to a multiple of 16 with dead
-    # lanes (subtracted from rays_traced). Off until the hardware A/B.
-    block_order_primary: bool = False
+    # layout transforms, no sort): each primary tile is then a square
+    # pixel block with a tight frustum, instead of a 256-lane row strip,
+    # and the binning sort's fixed cost drops out. Row count pads to a
+    # multiple of 16 with dead lanes (subtracted from rays_traced).
+    # Frame-level A/B on the dragon: 23.5 fps vs 20.5 binned.
+    block_order_primary: bool = True
 
     # Tone mapping (ToneMapper.cs:8-21)
     tone_exposure: float = 1.0

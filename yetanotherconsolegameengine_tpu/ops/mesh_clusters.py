@@ -543,11 +543,20 @@ def _intersect_impl(mc: MeshClusters, o, d, t_lo, t_hi, interpret=False,
         key = _sort_keys(o, d, active, mc.bounds)
         iota = jnp.arange(Pp, dtype=jnp.int32)
         _, sidx = jax.lax.sort([key, iota], num_keys=1, is_stable=True)
-        o_s = o[sidx]
-        d_s = d[sidx]
-        tlo_s = t_lo[sidx]
-        thi_s = t_hi[sidx]
-        act_s = active[sidx]
+        # ONE packed (Pp, 8) row gather instead of five separate gathers:
+        # per-ray gather cost is flat in row count, so multi-field fetches
+        # pack into a single row (the round-2 #1 perf lever). ``active``
+        # folds into the t_hi column's sign (active windows are strictly
+        # positive: t_lo >= 0 and active requires tf >= t_lo, so
+        # t_hi >= t_lo * 1.0001 + 1e-3 > 0).
+        thi_m = jnp.where(active, t_hi, -1.0)
+        rows8 = jnp.concatenate(
+            [o, d, t_lo[:, None], thi_m[:, None]], axis=1)[sidx]
+        o_s = rows8[:, 0:3]
+        d_s = rows8[:, 3:6]
+        tlo_s = rows8[:, 6]
+        act_s = rows8[:, 7] >= 0.0
+        thi_s = jnp.maximum(rows8[:, 7], 0.0)
     else:
         o_s, d_s, tlo_s, thi_s, act_s = o, d, t_lo, t_hi, active
 
@@ -583,12 +592,14 @@ def _intersect_impl(mc: MeshClusters, o, d, t_lo, t_hi, interpret=False,
     out = _run_kernel(lens, lists, mc.gmat, rays, n_tiles,
                       interpret=interpret, any_hit=any_hit)
 
-    # Unsort the two winner words (scatter by sidx), then resolve
-    # attributes in original ray order.
+    # Unsort the two winner words: ONE (Pp, 2) permutation scatter by sidx
+    # (instead of building an inverse permutation + two gathers), then
+    # resolve attributes in original ray order.
     if presort:
-        unsort = jnp.zeros((Pp,), jnp.int32).at[sidx].set(iota)
-        packed = out[0, :][unsort][:P]
-        cid = out[1, :][unsort][:P]
+        res2 = jnp.zeros((Pp, 2), jnp.int32).at[sidx].set(
+            out[0:2].T, unique_indices=True)
+        packed = res2[:P, 0]
+        cid = res2[:P, 1]
     else:
         packed = out[0, :P]
         cid = out[1, :P]

@@ -175,9 +175,13 @@ def frame_step(scene: SceneData, cam: CameraPose, state: FrameState,
                     x = jnp.moveaxis(x, 2, 1).reshape(hp16, hi_w, *tail)
                     return x[:hi_h].reshape(hi_h * hi_w, *tail)
 
+                # Block-ordered lanes are already tile-coherent: skip the
+                # binning sort for the primary sweep (its whole point);
+                # cfg.presort_primary still governs the non-block fallback.
+                cfg_blk = dataclasses.replace(cfg, presort_primary=False)
                 rb = trace.trace_all(
                     scene, to_blocks(o, 2.9e30), to_blocks(d, 1.0),
-                    (to_blocks(seed[0], 0), to_blocks(seed[1], 0)), cfg)
+                    (to_blocks(seed[0], 0), to_blocks(seed[1], 0)), cfg_blk)
                 res = trace.TraceResult(
                     radiance=from_blocks(rb.radiance),
                     is_sky=from_blocks(rb.is_sky),
