@@ -52,10 +52,18 @@ def _brute(a, b, c, mat, o, d, tmin=1e-3, tmax=INF):
     return tb, hit, jnp.asarray(mat)[win]
 
 
-def test_cluster_hits_match_brute_force():
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("kc", [KC, 128, 512])
+def test_cluster_hits_match_brute_force(kc):
+    """Also at non-default cluster widths: proxy sets pack kc=512 (the
+    packed-t winner index then takes 9 low mantissa bits instead of 8)."""
     a, b, c, mat = _mesh()
-    mc = build_clusters(a, b, c, mat)
-    assert mc.n_clusters >= 2
+    mc = build_clusters(a, b, c, mat, kc=kc)
+    assert mc.kc == kc
+    if kc == KC:
+        assert mc.n_clusters >= 2
     o, d = _rays()
     h = intersect_clusters(mc, o, d, 1e-3, INF, interpret=True)
     tb, hit_b, mat_b = _brute(a, b, c, mat, o, d)

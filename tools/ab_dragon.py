@@ -40,8 +40,19 @@ def run(scene, name, batch=48, n_batches=2):
 
 def main():
     names = sys.argv[1:] or ["base", "block"]
-    scene = SCENE_BUILDERS["dragon"]()
+    # Kernel-constant variants (module-level knobs, patched before the
+    # first trace compiles): exitN / nbufN.
+    from yetanotherconsolegameengine_tpu.ops import mesh_clusters as mcmod
+    cfg_names = []
     for name in names:
+        if name.startswith("exit"):
+            mcmod.EXIT_CHUNK = int(name[4:])
+        elif name.startswith("nbuf"):
+            mcmod.NBUF = int(name[4:])
+        else:
+            cfg_names.append(name)
+    scene = SCENE_BUILDERS["dragon"]()
+    for name in cfg_names or ["base"]:
         run(scene, name)
 
 

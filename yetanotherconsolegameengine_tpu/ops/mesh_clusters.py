@@ -58,7 +58,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .intersect import INF, Hit, _safe_div
 
-KC = 256               # triangles per cluster (= sublane extent of the eval)
+KC = 256               # default triangles per cluster (sublane extent);
+                       # tables may pack wider (power of two) — the kernel
+                       # reads the width off gmat's lane extent. Visits are
+                       # launch-bound (~2.3 us for a (768,4)x(4,512) visit),
+                       # so proxy sets pack 2x wider to halve visit count.
 TILE = 256             # rays per tile
 SUB = 4                # sub-bundles per tile for the cull
 NBUF = 4               # cluster DMA pipeline depth
@@ -88,6 +92,11 @@ class MeshClusters:
     def n_clusters(self) -> int:
         return self.cbmin.shape[0]
 
+    @property
+    def kc(self) -> int:
+        """Triangles per cluster (a power of two; from gmat's lane extent)."""
+        return self.gmat.shape[2] // 3
+
 
 def _woop_rows(a: np.ndarray, b: np.ndarray, c: np.ndarray):
     """Per-triangle world->barycentric affine rows (float64 inverse).
@@ -112,15 +121,16 @@ def _woop_rows(a: np.ndarray, b: np.ndarray, c: np.ndarray):
 
 
 def pack_cluster_blocks(a: np.ndarray, b: np.ndarray, c: np.ndarray,
-                        mat: np.ndarray):
-    """Host packing of triangles into KC-wide cluster blocks.
+                        mat: np.ndarray, kc: int = KC):
+    """Host packing of triangles into ``kc``-wide cluster blocks.
 
-    Returns numpy ``(cbmin (C,3), cbmax (C,3), gmat (C,8,3KC),
-    tri_rows (C*KC,16))`` — the raw table rows of ``MeshClusters`` —
+    Returns numpy ``(cbmin (C,3), cbmax (C,3), gmat (C,8,3kc),
+    tri_rows (C*kc,16))`` — the raw table rows of ``MeshClusters`` —
     so callers can either assemble a whole-mesh ``MeshClusters``
     (``build_clusters``) or scatter the blocks into slots of a larger
     device-resident table (the streamed-world surface mesher,
     world/surface.py)."""
+    assert kc & (kc - 1) == 0, "kc must be a power of two"
     a = np.asarray(a, np.float32)
     b = np.asarray(b, np.float32)
     c = np.asarray(c, np.float32)
@@ -131,14 +141,14 @@ def pack_cluster_blocks(a: np.ndarray, b: np.ndarray, c: np.ndarray,
     cent = (tmin + tmax) * 0.5
 
     # Recursive median sort gives a spatially coherent linear order; packing
-    # CONSECUTIVE runs of exactly KC into clusters then wastes no padded
+    # CONSECUTIVE runs of exactly kc into clusters then wastes no padded
     # slots, at the cost of slightly looser AABBs where a run straddles a
-    # split. Sorting down to KC/4-sized leaves keeps those spans small.
+    # split. Sorting down to kc/4-sized leaves keeps those spans small.
     order = np.arange(T)
     stack = [(0, T)]
     while stack:
         lo, hi = stack.pop()
-        if hi - lo <= max(KC // 4, 32):
+        if hi - lo <= max(kc // 4, 32):
             continue
         idx = order[lo:hi]
         cb = cent[idx]
@@ -149,15 +159,15 @@ def pack_cluster_blocks(a: np.ndarray, b: np.ndarray, c: np.ndarray,
         stack.append((mid, hi))
         stack.append((lo, mid))
 
-    ranges = [(lo, min(lo + KC, T)) for lo in range(0, T, KC)]
+    ranges = [(lo, min(lo + kc, T)) for lo in range(0, T, kc)]
     C = len(ranges)
     a_s, b_s, c_s, m_s = a[order], b[order], c[order], mat[order]
     rows, const = _woop_rows(a_s, b_s, c_s)
 
     cbmin = np.zeros((C, 3), np.float32)
     cbmax = np.zeros((C, 3), np.float32)
-    gmat = np.zeros((C, 8, 3 * KC), np.float32)
-    tri_rows = np.zeros((C * KC, 16), np.float32)
+    gmat = np.zeros((C, 8, 3 * kc), np.float32)
+    tri_rows = np.zeros((C * kc, 16), np.float32)
     # Degenerate padding slots: const=-1, rows=0 (never valid).
     gmat[:, 3, :] = -1.0
 
@@ -173,13 +183,13 @@ def pack_cluster_blocks(a: np.ndarray, b: np.ndarray, c: np.ndarray,
         cbmin[ci] = tmin[order[sl]].min(axis=0)
         cbmax[ci] = tmax[order[sl]].max(axis=0)
         for comp in range(3):   # x, y, z rows
-            gmat[ci, comp, 0 * KC:0 * KC + cnt] = rows[sl, 0, comp]
-            gmat[ci, comp, 1 * KC:1 * KC + cnt] = rows[sl, 1, comp]
-            gmat[ci, comp, 2 * KC:2 * KC + cnt] = rows[sl, 2, comp]
-        gmat[ci, 3, 0 * KC:0 * KC + cnt] = const[sl, 0]
-        gmat[ci, 3, 1 * KC:1 * KC + cnt] = const[sl, 1]
-        gmat[ci, 3, 2 * KC:2 * KC + cnt] = const[sl, 2]
-        dst = slice(ci * KC, ci * KC + cnt)
+            gmat[ci, comp, 0 * kc:0 * kc + cnt] = rows[sl, 0, comp]
+            gmat[ci, comp, 1 * kc:1 * kc + cnt] = rows[sl, 1, comp]
+            gmat[ci, comp, 2 * kc:2 * kc + cnt] = rows[sl, 2, comp]
+        gmat[ci, 3, 0 * kc:0 * kc + cnt] = const[sl, 0]
+        gmat[ci, 3, 1 * kc:1 * kc + cnt] = const[sl, 1]
+        gmat[ci, 3, 2 * kc:2 * kc + cnt] = const[sl, 2]
+        dst = slice(ci * kc, ci * kc + cnt)
         tri_rows[dst, 0:3] = a_s[sl]
         tri_rows[dst, 3:6] = e1[sl]
         tri_rows[dst, 6:9] = e2[sl]
@@ -190,9 +200,10 @@ def pack_cluster_blocks(a: np.ndarray, b: np.ndarray, c: np.ndarray,
 
 
 def build_clusters(a: np.ndarray, b: np.ndarray, c: np.ndarray,
-                   mat: np.ndarray, t_bias: float = 0.0) -> MeshClusters:
-    """Spatial-sort + consecutive-KC packing host build."""
-    cbmin, cbmax, gmat, tri_rows = pack_cluster_blocks(a, b, c, mat)
+                   mat: np.ndarray, t_bias: float = 0.0,
+                   kc: int = KC) -> MeshClusters:
+    """Spatial-sort + consecutive-kc packing host build."""
+    cbmin, cbmax, gmat, tri_rows = pack_cluster_blocks(a, b, c, mat, kc=kc)
     bounds = np.stack([cbmin.min(axis=0), cbmax.max(axis=0)])
     return MeshClusters(
         cbmin=jnp.asarray(cbmin), cbmax=jnp.asarray(cbmax),
@@ -280,7 +291,7 @@ def _tile_cull(o_t, d_t, act_t, tmax_t, cbmin, cbmax):
 # ---------------------------------------------------------------------------
 
 def _trace_kernel(lens_smem, lists_hbm, gmat_hbm, rays_ref, out_ref,
-                  lst, gbuf, sem_l, sem_g, *, any_hit=False):
+                  lst, gbuf, sem_l, sem_g, *, any_hit=False, kc=KC):
     T = TILE
     i = pl.program_id(0)
     n = lens_smem[i]
@@ -325,7 +336,8 @@ def _trace_kernel(lens_smem, lists_hbm, gmat_hbm, rays_ref, out_ref,
             def _():
                 get_dma(jj, jj).start()
 
-    k_iota = jax.lax.broadcasted_iota(jnp.int32, (KC, T), 0)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (kc, T), 0)
+    kmask = jnp.int32(kc - 1)
 
     # The winner state (best_packed, best_cid) rides the while CARRY as
     # VALUES. Ref-carried state read back inside the loop body/cond is
@@ -359,13 +371,13 @@ def _trace_kernel(lens_smem, lists_hbm, gmat_hbm, rays_ref, out_ref,
                                     preferred_element_type=jnp.float32)
               + jax.lax.dot_general(g_lo, od_hi, dn,
                                     preferred_element_type=jnp.float32))
-        ou = rr[:KC, :T]
-        ov = rr[KC:2 * KC, :T]
-        ow = rr[2 * KC:, :T]
-        du = rr[:KC, T:]
-        dv = rr[KC:2 * KC, T:]
-        dw = rr[2 * KC:, T:]
-        bt = pltpu.bitcast(best_packed & ~jnp.int32(255), jnp.float32)
+        ou = rr[:kc, :T]
+        ov = rr[kc:2 * kc, :T]
+        ow = rr[2 * kc:, :T]
+        du = rr[:kc, T:]
+        dv = rr[kc:2 * kc, T:]
+        dw = rr[2 * kc:, T:]
+        bt = pltpu.bitcast(best_packed & ~kmask, jnp.float32)
         r0 = pl.reciprocal(dw, approx=True)
         inv_dw = r0 * (2.0 - dw * r0)                  # one Newton step
         t = -ow * inv_dw
@@ -378,7 +390,7 @@ def _trace_kernel(lens_smem, lists_hbm, gmat_hbm, rays_ref, out_ref,
         # the nearest-t min and the XLA resolve recomputes exact t/u/v.
         valid = (m >= -1e-3) & (t > tmin) & (t < bt)   # NaNs fail all three
         tt = jnp.where(valid, t, jnp.float32(3.0e38))
-        packed = (pltpu.bitcast(tt, jnp.int32) & ~jnp.int32(255)) | k_iota
+        packed = (pltpu.bitcast(tt, jnp.int32) & ~kmask) | k_iota
         pmin = jnp.min(packed, axis=0, keepdims=True)  # (1, T)
         better = (pmin < best_packed) & ok
         best_packed = jnp.where(better, pmin, best_packed)
@@ -445,8 +457,9 @@ def _run_kernel(lens, lists, gmat, rays, n_tiles, interpret=False,
                 any_hit=False):
     T = TILE
     Cp = lists.shape[2]
+    kc = gmat.shape[2] // 3
     return pl.pallas_call(
-        functools.partial(_trace_kernel, any_hit=any_hit),
+        functools.partial(_trace_kernel, any_hit=any_hit, kc=kc),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # lens (n_tiles,)
@@ -458,7 +471,7 @@ def _run_kernel(lens, lists, gmat, rays, n_tiles, interpret=False,
         out_shape=jax.ShapeDtypeStruct((4, n_tiles * T), jnp.int32),
         scratch_shapes=[
             pltpu.SMEM((2, Cp), jnp.int32),
-            pltpu.VMEM((NBUF, 8, 3 * KC), jnp.float32),
+            pltpu.VMEM((NBUF, 8, 3 * kc), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
@@ -504,6 +517,8 @@ def _intersect_impl(mc: MeshClusters, o, d, t_lo, t_hi, interpret=False,
                     stats=False, any_hit=False, presort=True):
     P = o.shape[0]
     T = TILE
+    kc = mc.kc
+    kmask = jnp.int32(kc - 1)   # low mantissa bits carry the tri index
     Pp = ((P + T - 1) // T) * T
     pad = Pp - P
     active = jnp.max(jnp.abs(o), axis=1) < 1.0e30
@@ -575,7 +590,7 @@ def _intersect_impl(mc: MeshClusters, o, d, t_lo, t_hi, interpret=False,
                         0.0)
     init_bits = jnp.where(
         act_s,
-        jax.lax.bitcast_convert_type(thi_eff, jnp.int32) | jnp.int32(255),
+        jax.lax.bitcast_convert_type(thi_eff, jnp.int32) | kmask,
         jnp.int32(_NEG0_BITS))
     init_f = jax.lax.bitcast_convert_type(init_bits, jnp.float32)
     o4 = jnp.concatenate([o_s, jnp.ones((Pp, 1), jnp.float32)], axis=1)
@@ -612,7 +627,7 @@ def _intersect_impl(mc: MeshClusters, o, d, t_lo, t_hi, interpret=False,
         # tri_rows gather + exact Moller-Trumbore resolve: at shadow
         # population widths (P x L rays) the resolve gather costs more
         # than the traversal itself.
-        t_approx = jax.lax.bitcast_convert_type(packed & ~jnp.int32(255),
+        t_approx = jax.lax.bitcast_convert_type(packed & ~kmask,
                                                 jnp.float32)
         mat0 = mc.tri_rows[0, 12].astype(jnp.int32)
         z = jnp.zeros_like(t_approx)
@@ -621,8 +636,8 @@ def _intersect_impl(mc: MeshClusters, o, d, t_lo, t_hi, interpret=False,
         if stats:
             return res, (out[2, ::T], out[3, ::T], lens)
         return res
-    kk = packed & 255
-    flat = jnp.where(hit, cid * KC + kk, 0)
+    kk = packed & kmask
+    flat = jnp.where(hit, cid * kc + kk, 0)
     row = mc.tri_rows[flat]                            # THE per-ray gather
     a = row[:, 0:3]
     e1 = row[:, 3:6]
@@ -641,7 +656,7 @@ def _intersect_impl(mc: MeshClusters, o, d, t_lo, t_hi, interpret=False,
     q = jnp.cross(s, e1)
     v = jnp.sum(d_r * q, axis=1) * inv_det
     t = jnp.sum(e2 * q, axis=1) * inv_det
-    t_approx = jax.lax.bitcast_convert_type(packed & ~jnp.int32(255),
+    t_approx = jax.lax.bitcast_convert_type(packed & ~kmask,
                                             jnp.float32)
     ok = jnp.abs(det) >= 1e-12
     t = jnp.where(ok, t, t_approx)

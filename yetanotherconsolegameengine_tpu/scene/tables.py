@@ -42,6 +42,12 @@ LOD_TARGET_TRIS = 24576
 # 3x this budget, so e.g. the 69k-tri bunny keeps tracing full-res.
 PRIMARY_LOD_TARGET_TRIS = 147456
 
+# Proxy sets pack 512-triangle clusters (vs the full mesh's 256): cluster
+# visits are launch-bound (~2.3 us regardless of width), so doubling the
+# triangles per visit halves a sweep's visit count for near-free — the
+# slightly looser AABBs cost only wasted triangle LANES, which are cheap.
+PROXY_KC = 512
+
 
 def _pad_rows(arr: np.ndarray, n: int) -> np.ndarray:
     pad = [(0, n - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
@@ -432,11 +438,12 @@ class SceneBuilder:
                     f_tris, f_mats, fine_bias = simplify_soup(
                         tris, mat_ids, PRIMARY_LOD_TARGET_TRIS)
                     mesh_clusters_fine = build_clusters(
-                        f_tris[:, 0], f_tris[:, 1], f_tris[:, 2], f_mats)
+                        f_tris[:, 0], f_tris[:, 1], f_tris[:, 2], f_mats,
+                        kc=PROXY_KC)
                 if lod_tris.shape[0] <= tris.shape[0] // 4:
                     mesh_clusters_lod = build_clusters(
                         lod_tris[:, 0], lod_tris[:, 1], lod_tris[:, 2],
-                        lod_mats, t_bias=t_bias + fine_bias)
+                        lod_mats, t_bias=t_bias + fine_bias, kc=PROXY_KC)
             else:
                 # Sub-cluster meshes build ON DEVICE via the LBVH (Morton
                 # sort + complete-tree reduction, ops/lbvh.py) — the
