@@ -320,6 +320,13 @@ def _trace_kernel(lens_smem, lists_hbm, gmat_hbm, rays_ref, out_ref,
     # hi/lo bf16 split of the ray columns (hoisted out of the visit loop).
     od_hi = od.astype(jnp.bfloat16)
     od_lo = (od - od_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    # Stack the 3 hi/lo passes along the CONTRACTED dim: one K=12 matmul
+    # computes g_hi*od_hi + g_hi*od_lo + g_lo*od_hi with the cross-pass
+    # sum accumulating INSIDE the MXU (f32). The two (3kc, 2T) VPU adds
+    # of the explicit 3-pass form were ~1/3 of the whole visit's vector
+    # time; the MXU pads K to its native depth anyway, so K=12 costs the
+    # same as K=4.
+    od12 = jnp.concatenate([od_hi, od_lo, od_hi], axis=0)   # (12, 2T)
     lim = rays_ref[:, 2 * T:3 * T]     # (4, T): rows = init_bits tmin . .
     init_packed = pltpu.bitcast(lim[0:1, :], jnp.int32)    # (1, T)
     tmin = lim[1:2, :]                                     # (1, T)
@@ -365,12 +372,9 @@ def _trace_kernel(lens_smem, lists_hbm, gmat_hbm, rays_ref, out_ref,
         g_hi = g.astype(jnp.bfloat16)
         g_lo = (g - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         dn = (((0,), (0,)), ((), ()))
-        rr = (jax.lax.dot_general(g_hi, od_hi, dn,
-                                  preferred_element_type=jnp.float32)
-              + jax.lax.dot_general(g_hi, od_lo, dn,
-                                    preferred_element_type=jnp.float32)
-              + jax.lax.dot_general(g_lo, od_hi, dn,
-                                    preferred_element_type=jnp.float32))
+        g12 = jnp.concatenate([g_hi, g_hi, g_lo], axis=0)  # (12, 3kc)
+        rr = jax.lax.dot_general(g12, od12, dn,
+                                 preferred_element_type=jnp.float32)
         ou = rr[:kc, :T]
         ov = rr[kc:2 * kc, :T]
         ow = rr[2 * kc:, :T]
