@@ -20,7 +20,9 @@ VARIANTS = {
     "block": dict(block_order_primary=True),
     "noblock": dict(block_order_primary=False),
     "nosortP": dict(block_order_primary=False, presort_primary=False),
-    "nosortS": dict(presort_shadow=False),
+    "nosortS": dict(presort_shadow=False, lmajor_shadow=False),
+    "lmajorS": dict(lmajor_shadow=True),
+    "sortS": dict(lmajor_shadow=False),
 }
 
 
@@ -49,6 +51,8 @@ def main():
             mcmod.EXIT_CHUNK = int(name[4:])
         elif name.startswith("nbuf"):
             mcmod.NBUF = int(name[4:])
+        elif name == "nonewton":
+            mcmod.NEWTON_RCP = False
         else:
             cfg_names.append(name)
     scene = SCENE_BUILDERS["dragon"]()

@@ -66,6 +66,14 @@ class RenderConfig:
     # level 23.5 vs 20.5 fps).
     presort_primary: bool = True
     presort_shadow: bool = True
+    # L-major unsorted shadow lanes: lay the (W, L) shadow population out
+    # as [light0: all rays][light1: ...] instead of ray-major interleaved
+    # and skip the binning sort entirely. Under the 16x16 block primary
+    # order each 256-lane tile is then one pixel block converging on ONE
+    # light — near-sort-quality frusta for free. The sort's fixed cost is
+    # ~3.5 ms at 130k lanes (measured empty-sweep, tools/time_sweeps.py);
+    # only applied when it beats presort_shadow at frame level.
+    lmajor_shadow: bool = True
     # Feed the cluster trace in 16x16 pixel-BLOCK lane order (pure static
     # layout transforms, no sort): each primary tile is then a square
     # pixel block with a tight frustum, instead of a 256-lane row strip,

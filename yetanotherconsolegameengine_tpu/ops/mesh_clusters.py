@@ -68,6 +68,12 @@ SUB = 4                # sub-bundles per tile for the cull
 NBUF = 4               # cluster DMA pipeline depth
 EXIT_CHUNK = 8         # visits between early-exit checks
 DISABLE_EARLY_EXIT = False   # debug/ablation knob
+# Refine the approx reciprocal with one Newton step in the visit. OFF:
+# the kernel's t only ORDERS winners (the XLA resolve recomputes exact
+# t/u/v) and is quantized to 2^-14 relative by the packed index bits
+# anyway; the ~2^-12 approx error produced a bit-identical dragon frame
+# and +1.3 fps (ab_dragon nonewton, image A/B in tools/).
+NEWTON_RCP = False
 LIST_CHUNK = 512       # list entries DMA'd to SMEM up front
 _NEG0_BITS = np.int32(-0x80000000)   # bits of -0.0 == INT32_MIN
 
@@ -383,7 +389,13 @@ def _trace_kernel(lens_smem, lists_hbm, gmat_hbm, rays_ref, out_ref,
         dw = rr[2 * kc:, T:]
         bt = pltpu.bitcast(best_packed & ~kmask, jnp.float32)
         r0 = pl.reciprocal(dw, approx=True)
-        inv_dw = r0 * (2.0 - dw * r0)                  # one Newton step
+        if NEWTON_RCP:
+            inv_dw = r0 * (2.0 - dw * r0)              # one Newton step
+        else:
+            # ~2^-12 relative t error: winner ORDER can flip only between
+            # triangles within ~0.02% in t (either passes the exact
+            # resolve); u/v perturbation ~2e-4 sits inside the 1e-3 slack.
+            inv_dw = r0
         t = -ow * inv_dw
         u = ou + t * du
         v = ov + t * dv

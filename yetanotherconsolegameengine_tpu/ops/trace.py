@@ -92,7 +92,7 @@ def oren_nayar(albedo, n, wo, wi, sigma_rad: float):
 
 
 def transmittance_to_lights(scene, so, sd, max_dist, need, cfg: RenderConfig,
-                            lod: bool = False):
+                            lod: bool = False, presort: bool | None = None):
     """Colored transmittance along shadow rays, or binary occlusion for voxel
     worlds (RaytraceRenderer.ComputeTransmittanceToLight, :757-798).
 
@@ -104,10 +104,12 @@ def transmittance_to_lights(scene, so, sd, max_dist, need, cfg: RenderConfig,
     # Un-needed lanes get far-away origins so the BVH/DDA inner compaction
     # drops them immediately (see trace body).
     so = jnp.where(need[:, None], so, jnp.float32(2.9e30))
+    if presort is None:
+        presort = cfg.presort_shadow
     if scene.binary_shadows:
         def occluded(_):
             h = intersect_scene(scene, so, sd, 1e-3, max_dist, shadow=True,
-                                lod=lod, presort=cfg.presort_shadow)
+                                lod=lod, presort=presort)
             return jnp.where(h.hit[:, None], 0.0, jnp.ones_like(so))
 
         trans = jax.lax.cond(jnp.any(need), occluded,
@@ -120,7 +122,7 @@ def transmittance_to_lights(scene, so, sd, max_dist, need, cfg: RenderConfig,
     def body(st):
         rays = st["rays"] + jnp.sum((need & ~st["done"]).astype(jnp.int32))
         h = intersect_scene(scene, so, sd, st["tmin"], max_dist, shadow=True,
-                            lod=lod, presort=cfg.presort_shadow)
+                            lod=lod, presort=presort)
         m = gather_material(scene.materials, h.mat)
         done = st["done"]
         trans = st["trans"]
@@ -315,13 +317,35 @@ def trace_all(scene, o0, d0, rng0, cfg: RenderConfig) -> TraceResult:
             ndotl = jnp.maximum(0.0, jnp.einsum("pk,plk->pl", hit.n, ldir))
             need = diffuse[:, None] & lt.mask[None] & (ndotl > 0.0)
 
-            so = jnp.broadcast_to((p + hit.n * _EPS)[:, None, :],
-                                  (W, L, 3)).reshape(W * L, 3)
-            sd = ldir.reshape(W * L, 3)
-            trans, shadow_rays = transmittance_to_lights(
-                scene, so, sd, (dist - _EPS).reshape(W * L),
-                need.reshape(W * L), cfg, lod=use_lod)
-            trans = trans.reshape(W, L, 3)
+            # L-major lane order (cluster scenes): [light0: all rays]
+            # [light1: ...] instead of ray-major interleaving, traced
+            # UNSORTED — each 256-lane tile is then consecutive rays
+            # toward ONE light (under the 16x16 block primary order, one
+            # pixel block), so the binning sort's fixed ~3.5 ms at 130k
+            # lanes drops out with near-sort frustum quality. Pure layout
+            # transposes; per-(ray, light) results are identical up to
+            # packed-t ties.
+            lmaj = (cfg.lmajor_shadow and L > 1
+                    and scene.mesh_clusters is not None)
+            if lmaj:
+                so = jnp.broadcast_to(
+                    (p + hit.n * _EPS)[:, None, :],
+                    (W, L, 3)).transpose(1, 0, 2).reshape(W * L, 3)
+                sd = ldir.transpose(1, 0, 2).reshape(W * L, 3)
+                smax = (dist - _EPS).T.reshape(W * L)
+                sneed = need.T.reshape(W * L)
+                trans, shadow_rays = transmittance_to_lights(
+                    scene, so, sd, smax, sneed, cfg, lod=use_lod,
+                    presort=False)
+                trans = trans.reshape(L, W, 3).transpose(1, 0, 2)
+            else:
+                so = jnp.broadcast_to((p + hit.n * _EPS)[:, None, :],
+                                      (W, L, 3)).reshape(W * L, 3)
+                sd = ldir.reshape(W * L, 3)
+                trans, shadow_rays = transmittance_to_lights(
+                    scene, so, sd, (dist - _EPS).reshape(W * L),
+                    need.reshape(W * L), cfg, lod=use_lod)
+                trans = trans.reshape(W, L, 3)
             st["rays"] = st["rays"] + shadow_rays
 
             atten = lt.intensity[None] / dist2
