@@ -229,3 +229,22 @@ def test_presort_off_is_bit_identical():
     np.testing.assert_array_equal(np.asarray(hs.t), np.asarray(hn.t))
     np.testing.assert_array_equal(np.asarray(hs.mat), np.asarray(hn.mat))
     np.testing.assert_array_equal(np.asarray(hs.n), np.asarray(hn.n))
+
+
+def test_tile_width_knob_matches_default():
+    """tile=128 (narrower ray tiles: smaller per-visit VPU epilogue,
+    shorter silhouette lists) returns the same hits as the default
+    tile=256: tile width shapes only the cull lists and the early-exit
+    bound, so — as with presort — results match exactly up to packed-t
+    ties, of which this fixed set has none."""
+    a, b, c, mat = _mesh()
+    mc = build_clusters(a, b, c, mat)
+    o, d = _rays(n=701, seed=3)
+    hs = intersect_clusters(mc, o, d, 1e-3, INF, interpret=True)
+    for tile in (128, 512):
+        hn = intersect_clusters(mc, o, d, 1e-3, INF, interpret=True,
+                                tile=tile)
+        np.testing.assert_array_equal(np.asarray(hs.hit), np.asarray(hn.hit))
+        np.testing.assert_array_equal(np.asarray(hs.t), np.asarray(hn.t))
+        np.testing.assert_array_equal(np.asarray(hs.mat), np.asarray(hn.mat))
+        np.testing.assert_array_equal(np.asarray(hs.n), np.asarray(hn.n))

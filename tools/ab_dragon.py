@@ -51,6 +51,8 @@ def main():
             mcmod.EXIT_CHUNK = int(name[4:])
         elif name.startswith("nbuf"):
             mcmod.NBUF = int(name[4:])
+        elif name.startswith("tile"):
+            mcmod.TILE = int(name[4:])
         elif name == "nonewton":
             mcmod.NEWTON_RCP = False
         else:

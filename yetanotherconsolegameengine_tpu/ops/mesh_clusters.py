@@ -63,17 +63,22 @@ KC = 256               # default triangles per cluster (sublane extent);
                        # reads the width off gmat's lane extent. Visits are
                        # launch-bound (~2.3 us for a (768,4)x(4,512) visit),
                        # so proxy sets pack 2x wider to halve visit count.
-TILE = 256             # rays per tile
-SUB = 4                # sub-bundles per tile for the cull
+TILE = 256             # default rays per tile (see intersect_clusters(tile=));
+                       # Mosaic lane alignment bounds it below at 128
+SUB_W = 64             # rays per cull sub-bundle (frustum granularity)
 NBUF = 4               # cluster DMA pipeline depth
 EXIT_CHUNK = 8         # visits between early-exit checks
 DISABLE_EARLY_EXIT = False   # debug/ablation knob
-# Refine the approx reciprocal with one Newton step in the visit. OFF:
-# the kernel's t only ORDERS winners (the XLA resolve recomputes exact
-# t/u/v) and is quantized to 2^-14 relative by the packed index bits
-# anyway; the ~2^-12 approx error produced a bit-identical dragon frame
-# and +1.3 fps (ab_dragon nonewton, image A/B in tools/).
-NEWTON_RCP = False
+# Refine the approx reciprocal with one Newton step in the visit. It was
+# briefly OFF for +1.3 fps on the dragon (the packed-t winner only ORDERS
+# candidates and the XLA resolve recomputes exact t/u/v), but the raw
+# ~2^-12 relative t error breaks the in-kernel ``t > tmin`` validity test
+# against PER-RAY MARCHED tmin: shadow-transmittance loops bump tmin by an
+# absolute 1e-3 past the previous hit (trace.py), and at t >= ~4 the
+# approx error exceeds that epsilon, so the loop re-finds the same
+# surface forever (tests/test_mesh_clusters.py::test_per_ray_tmin_marching).
+# The opaque-dragon image A/B that justified OFF never marched. Stays ON.
+NEWTON_RCP = True
 LIST_CHUNK = 512       # list entries DMA'd to SMEM up front
 _NEG0_BITS = np.int32(-0x80000000)   # bits of -0.0 == INT32_MIN
 
@@ -243,19 +248,22 @@ def _axis_interval(ol, oh, dl, dh, lo, hi):
 
 
 def _tile_cull(o_t, d_t, act_t, tmax_t, cbmin, cbmax):
-    """Per-tile near-to-far candidate lists from SUB sub-bundle frusta.
+    """Per-tile near-to-far candidate lists from SUB_W-ray sub-bundle frusta.
 
     o_t/d_t: (n_tiles, T, 3). Returns (ids (n_tiles, Cp) i32, te_bits
-    (n_tiles, Cp) i32 ascending, lens (n_tiles,) i32)."""
+    (n_tiles, Cp) i32 ascending, lens (n_tiles,) i32). The sub-bundle
+    width is fixed at SUB_W rays regardless of tile width, so total cull
+    work (n_tiles * S * C interval tests) is invariant in the tile knob."""
     inf = jnp.float32(INF)
     big = jnp.float32(2.0e30)
     n_tiles = o_t.shape[0]
+    tile = o_t.shape[1]
     C = cbmin.shape[0]
-    S = SUB
-    o_s = o_t.reshape(n_tiles, S, TILE // S, 3)
-    d_s = d_t.reshape(n_tiles, S, TILE // S, 3)
-    a_s = act_t.reshape(n_tiles, S, TILE // S)
-    x_s = tmax_t.reshape(n_tiles, S, TILE // S)
+    S = max(1, tile // SUB_W)
+    o_s = o_t.reshape(n_tiles, S, tile // S, 3)
+    d_s = d_t.reshape(n_tiles, S, tile // S, 3)
+    a_s = act_t.reshape(n_tiles, S, tile // S)
+    x_s = tmax_t.reshape(n_tiles, S, tile // S)
     a3 = a_s[..., None]
     ol = jnp.min(jnp.where(a3, o_s, big), axis=2)    # (n_tiles, S, 3)
     oh = jnp.max(jnp.where(a3, o_s, -big), axis=2)
@@ -297,8 +305,9 @@ def _tile_cull(o_t, d_t, act_t, tmax_t, cbmin, cbmax):
 # ---------------------------------------------------------------------------
 
 def _trace_kernel(lens_smem, lists_hbm, gmat_hbm, rays_ref, out_ref,
-                  lst, gbuf, sem_l, sem_g, *, any_hit=False, kc=KC):
-    T = TILE
+                  lst, gbuf, sem_l, sem_g, *, any_hit=False, kc=KC,
+                  tile=TILE):
+    T = tile
     i = pl.program_id(0)
     n = lens_smem[i]
     Cp = lst.shape[1]
@@ -471,11 +480,11 @@ def _trace_kernel(lens_smem, lists_hbm, gmat_hbm, rays_ref, out_ref,
 
 def _run_kernel(lens, lists, gmat, rays, n_tiles, interpret=False,
                 any_hit=False):
-    T = TILE
+    T = rays.shape[1] // (3 * n_tiles)   # rays is (4, n_tiles * 3T)
     Cp = lists.shape[2]
     kc = gmat.shape[2] // 3
     return pl.pallas_call(
-        functools.partial(_trace_kernel, any_hit=any_hit, kc=kc),
+        functools.partial(_trace_kernel, any_hit=any_hit, kc=kc, tile=T),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # lens (n_tiles,)
@@ -528,11 +537,14 @@ def _sort_keys(o, d, active, bounds):
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "stats", "any_hit",
-                                    "presort"))
+                                    "presort", "tile"))
 def _intersect_impl(mc: MeshClusters, o, d, t_lo, t_hi, interpret=False,
-                    stats=False, any_hit=False, presort=True):
+                    stats=False, any_hit=False, presort=True, tile=None):
     P = o.shape[0]
-    T = TILE
+    T = tile or TILE
+    # Mosaic lane alignment: the out block is (4, T) and the rays block
+    # (4, 3T); both need 128-multiple lane extents on hardware.
+    assert T % 128 == 0 and T >= 128, T
     kc = mc.kc
     kmask = jnp.int32(kc - 1)   # low mantissa bits carry the tri index
     Pp = ((P + T - 1) // T) * T
@@ -690,7 +702,7 @@ def _intersect_impl(mc: MeshClusters, o, d, t_lo, t_hi, interpret=False,
 
 def intersect_clusters(mc: MeshClusters, o, d, tmin, tmax,
                        interpret: bool = None, any_hit: bool = False,
-                       presort: bool = True) -> Hit:
+                       presort: bool = True, tile: int = None) -> Hit:
     """Hit query over the cluster tables. o/d: (P, 3); tmin/tmax scalar
     or (P,). Matches intersect_mesh semantics (double-sided, normal flipped
     against the ray). ``interpret=None`` auto-selects the Pallas
@@ -699,11 +711,16 @@ def intersect_clusters(mc: MeshClusters, o, d, tmin, tmax,
     the nearest: shadow transmittance zeroes on any opaque blocker, and
     fully shadowed tiles then exit after their first blocking cluster.
     ``presort=False`` skips ray binning and tiles the caller's lane order
-    directly (bit-identical results; see _intersect_impl)."""
+    directly (bit-identical results; see _intersect_impl). ``tile``
+    (default module TILE) sets rays-per-tile: narrower tiles shrink each
+    visit's VPU epilogue ((kc, T) mask/min work) and shorten silhouette
+    tiles' candidate lists at the cost of more per-tile preambles; cull
+    cost is tile-invariant (fixed SUB_W-ray frusta). Must be a multiple
+    of 128 (Mosaic lane alignment)."""
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
     P = o.shape[0]
     t_lo = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (P,))
     t_hi = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (P,))
     return _intersect_impl(mc, o, d, t_lo, t_hi, interpret=interpret,
-                           any_hit=any_hit, presort=presort)
+                           any_hit=any_hit, presort=presort, tile=tile)
