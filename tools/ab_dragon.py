@@ -5,7 +5,14 @@ prints sustained fps per variant. Usage:
 
     python tools/ab_dragon.py [variant ...]   # default: base block
 
-Variants: base | block | nosortP | nosortS | exit4
+Config variants (RenderConfig fields, independent runs): base | block |
+noblock | nosortP | nosortS | lmajorS | sortS.
+
+Kernel-constant variants (exitN | nbufN | tileN | nonewton) patch
+module globals in ops.mesh_clusters that are read at jit TRACE time, so
+they apply to ALL runs in this invocation and MUST precede the first
+compile — list them anywhere on the command line, they are consumed
+before any config variant runs.
 """
 import dataclasses, sys, time
 import numpy as np

@@ -27,6 +27,10 @@ class BaseComponent:
     def draw(self, fb: Framebuffer):
         pass
 
+    def close(self):
+        """Release external resources (video readers, subprocesses)."""
+        pass
+
 
 class BaseEntity:
     def __init__(self, x: int = 0, y: int = 0, glyph: int = 0):
@@ -49,6 +53,10 @@ class BaseEntity:
 
     def handle_mouse(self, ev) -> bool:
         return any(c.handle_mouse(ev) for c in self.components)
+
+    def close(self):
+        for c in self.components:
+            c.close()
 
     def draw(self, fb: Framebuffer):
         if self.glyph:

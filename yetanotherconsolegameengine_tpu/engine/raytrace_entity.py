@@ -72,12 +72,34 @@ class RaytraceComponent(BaseComponent):
                 self._cache[name] = SCENE_BUILDERS[name]()
         return self._cache[name]
 
+    def _release_scene_readers(self, name: str):
+        """Close a dynamic-texture scene's video readers when leaving it.
+
+        The scene is also evicted from the cache: its texture-bank slots
+        were bound to the now-closed readers, so a later re-entry must
+        rebuild the scene (and spawn fresh readers) from scratch. Without
+        this, switching away from ``video_texture`` left its ffmpeg
+        subprocess running until process exit."""
+        obj = self._cache.get(name)
+        if obj is not None and getattr(obj, "has_dynamic_textures", False):
+            from ..video.textures import unregister_scene
+            unregister_scene(name)
+            del self._cache[name]
+
+    def close(self):
+        self._release_scene_readers(self.scene_names[self.scene_idx])
+        if self._video is not None:
+            self._video.reader.close()
+            self._video = None
+
     def _switch_to(self, idx: int, force: bool = False):
         now = time.monotonic()
         if not force and now - self._last_switch < SCENE_SWITCH_COOLDOWN:
             return
         self._last_switch = now
         self._pending = None
+        if self.renderer is not None:   # not the constructor's first call
+            self._release_scene_readers(self.scene_names[self.scene_idx])
         self.scene_idx = idx % len(self.scene_names)
         name = self.scene_names[self.scene_idx]
         obj = self._get_or_build(name)

@@ -148,6 +148,8 @@ class Terminal:
             if self.interactive:
                 self.input.stop()
                 leave_alt_screen(self.out_fd)
+            for e in self.entities:
+                e.close()
 
     def stop(self):
         self.running = False

@@ -12,14 +12,16 @@ as dense blocks, and all intersection math is matmul/VPU-shaped).
 
   1. HOST BUILD  — triangles are sorted into a spatially coherent linear
      order (recursive median split) and packed into CONSECUTIVE clusters of
-     exactly KC=256 with tight AABBs (zero padding waste). Each cluster
-     bakes its triangles' Woop world->barycentric transforms into one
-     (4, 768) f32 block (rows = x/y/z/affine, lanes = [U | V | W] per
-     triangle), so a whole cluster is ONE aligned 12 KB DMA and its
-     intersection is a single matmul.
-  2. XLA CULL    — rays are binned into coherent tiles of T=256 (stable
-     sort by direction octant + origin Morton; primary rays keep image
-     order). Each tile is split into 4 sub-bundles of 64; a dense
+     exactly kc (default KC=256; proxy sets pack wider) with tight AABBs
+     (zero padding waste). Each cluster bakes its triangles' Woop
+     world->barycentric transforms into one (4, 3*kc) f32 block (rows =
+     x/y/z/affine, lanes = [U | V | W] per triangle), so a whole cluster
+     is ONE aligned DMA (12 KB at kc=256) and its intersection is a single
+     matmul.
+  2. XLA CULL    — rays are binned into coherent tiles of T rays (default
+     TILE=256; see intersect_clusters(tile=)) (stable sort by direction
+     octant + origin Morton; primary rays keep image order). Each tile is
+     split into SUB_W=64-ray sub-bundles; a dense
      conservative interval-arithmetic slab test of every sub-bundle against
      every cluster AABB yields, per tile, a near-to-far sorted candidate
      list. This is the "traversal", done in bulk on the VPU instead of
@@ -481,6 +483,7 @@ def _trace_kernel(lens_smem, lists_hbm, gmat_hbm, rays_ref, out_ref,
 def _run_kernel(lens, lists, gmat, rays, n_tiles, interpret=False,
                 any_hit=False):
     T = rays.shape[1] // (3 * n_tiles)   # rays is (4, n_tiles * 3T)
+    assert rays.shape[1] == 3 * T * n_tiles, (rays.shape, n_tiles)
     Cp = lists.shape[2]
     kc = gmat.shape[2] // 3
     return pl.pallas_call(
@@ -541,7 +544,7 @@ def _sort_keys(o, d, active, bounds):
 def _intersect_impl(mc: MeshClusters, o, d, t_lo, t_hi, interpret=False,
                     stats=False, any_hit=False, presort=True, tile=None):
     P = o.shape[0]
-    T = tile or TILE
+    T = TILE if tile is None else tile
     # Mosaic lane alignment: the out block is (4, T) and the rays block
     # (4, 3T); both need 128-multiple lane extents on hardware.
     assert T % 128 == 0 and T >= 128, T
