@@ -91,9 +91,39 @@ def main():
 
     timeit("primary sweep (full set)", sweep, o_j, d_j)
 
+    # 2b. the set the frame's primary round ACTUALLY traces (fine proxy
+    # when present, tables.py PRIMARY_LOD_TARGET_TRIS).
+    mcf = getattr(scene, "mesh_clusters_fine", None)
+    if mcf is not None:
+        print(f"  (fine proxy: C_fine={mcf.n_clusters} kc={mcf.kc})",
+              flush=True)
+        timeit("primary sweep (FINE set)",
+               lambda c, o, d: sweep(c, o, d, mc=mcf), o_j, d_j)
+
     # 3. same rays against the LOD set
     timeit("primary sweep (LOD set)",
            lambda c, o, d: sweep(c, o, d, mc=mcl), o_j, d_j)
+
+    # 3b. L-major unsorted shadow sweep at W*L lanes vs the LOD set —
+    # what the primary round's direct lighting actually runs (trace.py
+    # lmajor_shadow; L point lights).
+    L = int(np.asarray(scene.lights.mask).sum())
+    if L > 0:
+        from yetanotherconsolegameengine_tpu.ops.mesh_clusters import (
+            intersect_clusters)
+
+        def shadow_sweep(c, o, d):
+            so = jnp.tile(o, (L, 1))
+            sd = jnp.tile(d, (L, 1))
+            h = intersect_clusters(mcl, so + c * 0, sd, 1e-3,
+                                   jnp.full((P * L,), 8.0, jnp.float32),
+                                   any_hit=bool(scene.mesh_all_opaque),
+                                   presort=False)
+            return jnp.sum(h.t * 0) + jnp.sum(
+                h.hit.astype(jnp.float32)) * 1e-9
+
+        timeit(f"shadow sweep (LOD, {L} lights, P*L)", shadow_sweep,
+               o_j, d_j)
 
     # 4. sort + unsort only (the binning infrastructure at P rays)
     def sort_only(c, o, d):

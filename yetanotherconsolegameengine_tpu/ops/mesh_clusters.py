@@ -69,7 +69,12 @@ TILE = 256             # default rays per tile (see intersect_clusters(tile=));
                        # Mosaic lane alignment bounds it below at 128
 SUB_W = 64             # rays per cull sub-bundle (frustum granularity)
 NBUF = 4               # cluster DMA pipeline depth
-EXIT_CHUNK = 8         # visits between early-exit checks
+EXIT_CHUNK = 4         # visits between early-exit checks. Measured on the
+                       # dragon @240x135 (tools/ab_dragon.py, round 4):
+                       # exit4 40.8 fps vs exit8 39.0 — tighter exit bounds
+                       # beat the halved check cadence. tile128 (finer ray
+                       # tiles for silhouette culls) measured 29.2 fps —
+                       # per-tile launch overhead dominates; keep TILE=256.
 DISABLE_EARLY_EXIT = False   # debug/ablation knob
 # Refine the approx reciprocal with one Newton step in the visit. It was
 # briefly OFF for +1.3 fps on the dragon (the packed-t winner only ORDERS
