@@ -43,6 +43,10 @@ def main(argv=None) -> int:
                     help="no raw mode / alt screen (pipes, CI)")
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a jax.profiler device trace to DIR")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="frames per device dispatch on static scenes "
+                         "(K>1 amortizes the tunnel round-trip K-fold at "
+                         "~K-2K ticks of input latency)")
     args = ap.parse_args(argv)
 
     term = Terminal(backend=args.backend, enable_mouse=args.mouse,
@@ -57,7 +61,7 @@ def main(argv=None) -> int:
 
     entity = BaseEntity()
     rt = RaytraceComponent(term.fb, ss=args.ss, start_scene=args.scene,
-                           enable_world=not args.no_world)
+                           enable_world=not args.no_world, batch=args.batch)
     entity.add_component(rt)
     term.add_entity(entity)
     term.on_resize = rt.resize

@@ -38,7 +38,7 @@ def default_scene_order() -> List[str]:
 class RaytraceComponent(BaseComponent):
     def __init__(self, fb: Framebuffer, scene_names: Optional[List[str]] = None,
                  ss: int = 1, start_scene: Union[int, str] = 0,
-                 enable_world: bool = True):
+                 enable_world: bool = True, batch: int = 1):
         super().__init__()
         self.fb = fb
         self.ss = ss
@@ -59,6 +59,12 @@ class RaytraceComponent(BaseComponent):
         self._dynamic = None  # active DynamicScene, if any
         self._video = None   # active VideoRenderer, if any
         self._pending = None  # frame in flight (blitted next tick)
+        # Batched app loop (static scenes): K frames per device dispatch,
+        # input replayed at dispatch rate (see _update_batched).
+        self.batch = max(1, int(batch))
+        self._batch_cur = None   # host-materialized (fg, bg, top, bot)
+        self._batch_pos = 0
+        self._batch_inflight = None  # device grids + last FrameOutput
         self._switch_to(self.scene_idx, force=True)
 
     # -- scene table (GetOrBuildScene, RaytraceEntity.cs:303-315) ----------
@@ -98,6 +104,9 @@ class RaytraceComponent(BaseComponent):
             return
         self._last_switch = now
         self._pending = None
+        self._batch_cur = None
+        self._batch_pos = 0
+        self._batch_inflight = None
         if self.renderer is not None:   # not the constructor's first call
             self._release_scene_readers(self.scene_names[self.scene_idx])
         self.scene_idx = idx % len(self.scene_names)
@@ -189,6 +198,9 @@ class RaytraceComponent(BaseComponent):
     def resize(self, fb: Framebuffer):
         self.fb = fb
         self._pending = None
+        self._batch_cur = None
+        self._batch_pos = 0
+        self._batch_inflight = None
         if self.renderer is not None:
             self.renderer.resize(fb.width, fb.height, self.ss)
 
@@ -232,6 +244,11 @@ class RaytraceComponent(BaseComponent):
             self.renderer.scene = self._dynamic.update(dt)
             if inp is not None:
                 self.camera.update(inp, dt)
+        elif self.batch > 1:
+            # Static scene + batched loop: input replays at DISPATCH rate
+            # inside _update_batched, not per tick.
+            self._update_batched(dt, inp)
+            return
         elif inp is not None:
             self.camera.update(inp, dt)
 
@@ -260,6 +277,66 @@ class RaytraceComponent(BaseComponent):
             # the one-frame-in-flight pipeline.
             self.info = self._info_string(
                 blitted if blitted is not None else out, frame_ms)
+            self.fb.write_text(0, 0, self.info[: self.fb.width])
+
+    def _dispatch_batch(self, dt: float, inp):
+        """Integrate the camera K ticks forward from the CURRENT input
+        state (input replay at dispatch rate) and dispatch one K-frame
+        scan. Returns immediately (JAX dispatch is async)."""
+        import numpy as _np
+        r = self.renderer
+        poses = []
+        for _ in range(self.batch):
+            if inp is not None:
+                self.camera.update(inp, dt)
+            poses.append((list(self.camera.pos), self.camera.yaw,
+                          self.camera.pitch))
+        grids, out = r.render_many(self.batch, poses=poses, rgb=True)
+        self._batch_inflight = (grids, out)
+
+    def _update_batched(self, dt: float, inp):
+        """K-frames-per-dispatch app loop (static scenes).
+
+        The one-frame-in-flight loop pays one tunnel dispatch AND one
+        readback sync per frame (~20-80 ms each way on the axon tunnel,
+        bounding interactive fps at 10-31 regardless of scene cost). Here
+        one ``render_many`` scan renders K frames per dispatch and ONE
+        stacked readback materializes all K cell grids, so the round-trip
+        amortizes K-fold. The cost is input latency (~K..2K ticks: input
+        sampled at dispatch time affects the batch after the one being
+        blitted) — the TPU-native answer to the reference's dispatch-free
+        loop (Terminal.cs:126-184), which has zero latency but CPU-bound
+        throughput."""
+        import numpy as _np
+        t0 = time.perf_counter()
+        if self._batch_cur is None or self._batch_pos >= len(self._batch_cur[0]):
+            if self._batch_inflight is None:
+                # Cold start (first tick / after switch): dispatch and show
+                # nothing this tick.
+                self._dispatch_batch(dt, inp)
+                return
+            grids, out = self._batch_inflight
+            self._batch_inflight = None
+            # ONE host materialization for the whole batch (4 transfers).
+            self._batch_cur = tuple(_np.asarray(g) for g in grids)
+            self._batch_pos = 0
+            # One scalar readback per BATCH, not per HUD tick.
+            import types
+            self._batch_out = types.SimpleNamespace(
+                rays_traced=int(out.rays_traced))
+            # Refill the pipeline immediately: the next batch computes
+            # while this one is being blitted over the next K ticks.
+            self._dispatch_batch(dt, inp)
+        fg, bg, top, bot = (g[self._batch_pos] for g in self._batch_cur)
+        self._batch_pos += 1
+        self.fb.blit_half_blocks(top.astype(_np.float32),
+                                 bot.astype(_np.float32), fg, bg)
+        frame_ms = (time.perf_counter() - t0) * 1000.0
+        self._frame_times.append(frame_ms)
+        if len(self._frame_times) > 30:
+            self._frame_times.pop(0)
+        if self.show_hud:
+            self.info = self._info_string(self._batch_out, frame_ms)
             self.fb.write_text(0, 0, self.info[: self.fb.width])
 
     def _info_string(self, out, frame_ms: float) -> str:

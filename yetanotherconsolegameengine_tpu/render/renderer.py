@@ -276,7 +276,7 @@ def frame_step(scene: SceneData, cam: CameraPose, state: FrameState,
 def frame_scan(scene: SceneData, cams: CameraPose, state: FrameState,
                fb_w: int, fb_h: int, ss: int = 1,
                cfg: RenderConfig = DEFAULT_CONFIG, host_scene=None,
-               fused_post=None):
+               fused_post=None, stack_rgb: bool = False):
     """Render a SEQUENCE of frames in one device program.
 
     ``cams`` is a CameraPose pytree with a leading (N,) axis. TAA history,
@@ -287,16 +287,22 @@ def frame_scan(scene: SceneData, cams: CameraPose, state: FrameState,
 
     Returns ((fg_ansi_u8, bg_ansi_u8) stacked (N, fb_h, fb_w), the last
     frame's full FrameOutput, final state). Only the quantized cell grids
-    are stacked per frame — that is all a terminal consumer needs, and
-    stacking full f32 RGB planes costs ~10x the render itself."""
+    are stacked per frame by default — that is all a terminal consumer
+    needs, and stacking full f32 RGB planes costs ~10x the render itself.
+    ``stack_rgb=True`` (the batched app loop, which blits RGB into the
+    framebuffer for the window backend / PNG export) also stacks the
+    tone-mapped top/bot cell planes as ~1 B/channel-accurate f16."""
 
     def step(st, xs):
         cam, pc = xs
         out, st2 = frame_step(scene, cam, st, fb_w, fb_h, ss, cfg,
                               host_scene=host_scene, fused_post=fused_post,
                               precomp=pc)
-        return st2, (out.fg_ansi.astype(jnp.uint8),
-                     out.bg_ansi.astype(jnp.uint8))
+        ys = (out.fg_ansi.astype(jnp.uint8), out.bg_ansi.astype(jnp.uint8))
+        if stack_rgb:
+            ys = ys + (out.top_rgb.astype(jnp.float16),
+                       out.bot_rgb.astype(jnp.float16))
+        return st2, ys
 
     n = cams.pos.shape[0]
     # Hoist the per-frame scalar prep out of the scan body: the camera
@@ -327,16 +333,23 @@ def frame_scan(scene: SceneData, cams: CameraPose, state: FrameState,
     last_cam = jax.tree_util.tree_map(lambda x: x[-1], cams)
     last_pc = jax.tree_util.tree_map(lambda x: x[-1], pcs)
     if n > 1:
-        state, (fgs, bgs) = jax.lax.scan(step, state, head)
+        state, grids = jax.lax.scan(step, state, head)
     else:
-        fgs = jnp.zeros((0, fb_h, fb_w), jnp.uint8)
-        bgs = fgs
+        z8 = jnp.zeros((0, fb_h, fb_w), jnp.uint8)
+        grids = (z8, z8)
+        if stack_rgb:
+            z16 = jnp.zeros((0, fb_h, fb_w, 3), jnp.float16)
+            grids = grids + (z16, z16)
     out, state = frame_step(scene, last_cam, state, fb_w, fb_h, ss, cfg,
                             host_scene=host_scene, fused_post=fused_post,
                             precomp=last_pc)
-    fgs = jnp.concatenate([fgs, out.fg_ansi.astype(jnp.uint8)[None]])
-    bgs = jnp.concatenate([bgs, out.bg_ansi.astype(jnp.uint8)[None]])
-    return (fgs, bgs), out, state
+    lasts = (out.fg_ansi.astype(jnp.uint8)[None],
+             out.bg_ansi.astype(jnp.uint8)[None])
+    if stack_rgb:
+        lasts = lasts + (out.top_rgb.astype(jnp.float16)[None],
+                         out.bot_rgb.astype(jnp.float16)[None])
+    grids = tuple(jnp.concatenate([g, l]) for g, l in zip(grids, lasts))
+    return grids, out, state
 
 
 class RaytraceRenderer:
@@ -449,12 +462,14 @@ class RaytraceRenderer:
                                      host_scene=self._hs)
         return out
 
-    def render_many(self, n: int, poses=None):
+    def render_many(self, n: int, poses=None, rgb: bool = False):
         """Render ``n`` frames in ONE dispatch (lax.scan over frame_step);
         advances the renderer state. ``poses``: optional list of
         (pos, yaw, pitch) per frame. Returns
         ((fg_ansi_u8, bg_ansi_u8) stacked (n, fb_h, fb_w), last frame's
-        FrameOutput). Video textures refresh once per BATCH (the scan is
+        FrameOutput); with ``rgb=True`` the grids tuple also stacks
+        (top_rgb, bot_rgb) f16 planes (the batched app loop blits those).
+        Video textures refresh once per BATCH (the scan is
         one device program; per-frame texture updates need render())."""
         import numpy as np
         self._update_video_textures()
@@ -476,9 +491,10 @@ class RaytraceRenderer:
                 functools.partial(frame_scan, fb_w=self.fb_w,
                                   fb_h=self.fb_h, ss=self.ss, cfg=self.cfg,
                                   fused_post=self._fused_post),
-                static_argnames=("host_scene",))
+                static_argnames=("host_scene", "stack_rgb"))
         grids, out, self.state = self._scan(self.scene, stacked, self.state,
-                                            host_scene=self._hs)
+                                            host_scene=self._hs,
+                                            stack_rgb=rgb)
         return grids, out
 
     def resize(self, fb_w: int, fb_h: int, ss: Optional[int] = None):
