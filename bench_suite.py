@@ -48,6 +48,26 @@ def _interactive_fps(render_fn, n=24, warmup=4):
     return n / (time.perf_counter() - t0)
 
 
+def _batched_interactive_fps(r, k=8, n_batches=6):
+    """The ``--batch K`` app loop (RaytraceComponent._update_batched):
+    K frames per dispatch with one BATCH in flight — batch N+1 computes
+    on-device while batch N's four stacked planes (fg/bg u8 + top/bot
+    f16 RGB) materialize to the host and blit. Frames delivered per
+    second = K / max(batch compute, batch readback)."""
+    inflight = r.render_many(k, rgb=True)[0]
+    for _ in range(2):  # warm the pipeline
+        nxt = r.render_many(k, rgb=True)[0]
+        [np.asarray(g) for g in inflight]
+        inflight = nxt
+    t0 = time.perf_counter()
+    for _ in range(n_batches):
+        nxt = r.render_many(k, rgb=True)[0]
+        [np.asarray(g) for g in inflight]
+        inflight = nxt
+    [np.asarray(g) for g in inflight]
+    return (n_batches + 1) * k / (time.perf_counter() - t0)
+
+
 def bench_scene(name, scene, fb_w, fb_h, batch=2000, n_batches=2, ss=1):
     # batch=2000 matches bench.py: at batch=300 the ~20 ms tunnel
     # dispatch still adds ~65 us/frame to sub-200-us configs. Heavy
@@ -66,11 +86,13 @@ def bench_scene(name, scene, fb_w, fb_h, batch=2000, n_batches=2, ss=1):
     dt = (time.perf_counter() - t0) / (n_batches * batch)
     fps = 1.0 / dt
     ifps = _interactive_fps(r.render)
+    bifps = _batched_interactive_fps(r)
     print(json.dumps({
         "metric": f"{name} @{fb_w}x{fb_h} ({rays} rays/frame)",
         "fps": round(fps, 1),
         "mrays_per_s": round(rays * fps / 1e6, 2),
         "interactive_fps": round(ifps, 1),
+        "batched_interactive_fps_k8": round(bifps, 1),
         "pallas": r._hs is not None,
     }), flush=True)
     return fps
@@ -179,7 +201,7 @@ def main():
     from yetanotherconsolegameengine_tpu.world.volume_scene import (
         build_minecraft_like)
 
-    def bench_island_orbit(vs, label, n_frames=256):
+    def bench_island_orbit(vs, label, n_frames=256, fb_w=160, fb_h=90):
         """Sustained island number: the loaded world is static between
         chunk arrivals (day/night only moves light scalars), so a camera
         orbit rides the same render_many scan path as every static
@@ -189,7 +211,8 @@ def main():
             RaytraceRenderer)
         import math as _math
         sc = vs.update(1.0 / 30.0)
-        rr = RaytraceRenderer(sc, fb_w=160, fb_h=90, ss=1, use_pallas=False)
+        rr = RaytraceRenderer(sc, fb_w=fb_w, fb_h=fb_h, ss=1,
+                              use_pallas=False)
         eye = vs.pos.copy(); eye[1] += 6.0
         poses = [(eye, _math.pi * 2 * i / 64, -0.35) for i in range(64)]
         batch = (poses * ((n_frames + 63) // 64))[:n_frames]
@@ -203,7 +226,7 @@ def main():
         _sync(grids[0])
         dt = (time.perf_counter() - t0) / (n_b * len(batch))
         print(json.dumps({
-            "metric": f"{label} @160x90 ({rays} rays/frame)",
+            "metric": f"{label} @{fb_w}x{fb_h} ({rays} rays/frame)",
             "fps": round(1.0 / dt, 1),
             "mrays_per_s": round(rays / dt / 1e6, 2),
             "pallas": False,
@@ -220,6 +243,10 @@ def main():
     bench_dynamic("Minecraft-like streamed island (surface clusters)",
                   lambda t: vs.update(1.0 / 30.0), 160, 90, n=12)
     bench_island_orbit(vs, "Minecraft-like island orbit, sustained")
+    # The reference's 60-fps north-star cell geometry (VolumeScenes.cs
+    # flagship interactive scene at the 240x135 default grid).
+    bench_island_orbit(vs, "Minecraft-like island orbit, sustained",
+                       n_frames=128, fb_w=240, fb_h=135)
     vs.manager.shutdown()
 
     # Reference-parity record: the same island forced onto the voxel DDA
