@@ -72,8 +72,10 @@ NBUF = 4               # cluster DMA pipeline depth
 EXIT_CHUNK = 4         # visits between early-exit checks. Measured on the
                        # dragon @240x135 (tools/ab_dragon.py, round 4):
                        # exit4 40.8 fps vs exit8 39.0 — tighter exit bounds
-                       # beat the halved check cadence. tile128 (finer ray
-                       # tiles for silhouette culls) measured 29.2 fps —
+                       # beat the halved check cadence; exit2 41.1 vs exit4
+                       # 40.6 across invocations = flat within tunnel noise,
+                       # not worth doubling the check cost. tile128 (finer
+                       # ray tiles for silhouette culls) measured 29.2 fps —
                        # per-tile launch overhead dominates; keep TILE=256.
 DISABLE_EARLY_EXIT = False   # debug/ablation knob
 # Refine the approx reciprocal with one Newton step in the visit. It was
