@@ -56,6 +56,8 @@ def main():
     for name in names:
         if name.startswith("exit"):
             mcmod.EXIT_CHUNK = int(name[4:])
+        elif name.startswith("vb"):
+            mcmod.VISIT_BATCH = int(name[2:])
         elif name.startswith("nbuf"):
             mcmod.NBUF = int(name[4:])
         elif name.startswith("tile"):
@@ -64,7 +66,11 @@ def main():
             mcmod.NEWTON_RCP = False
         else:
             cfg_names.append(name)
+    import dataclasses as _dc
     scene = SCENE_BUILDERS["dragon"]()
+    if "noshad" in cfg_names:      # strip the coarse occlusion proxy
+        cfg_names.remove("noshad")
+        scene = _dc.replace(scene, mesh_clusters_shadow=None)
     for name in cfg_names or ["base"]:
         run(scene, name)
 

@@ -14,10 +14,11 @@ as dense blocks, and all intersection math is matmul/VPU-shaped).
      order (recursive median split) and packed into CONSECUTIVE clusters of
      exactly kc (default KC=256; proxy sets pack wider) with tight AABBs
      (zero padding waste). Each cluster bakes its triangles' Woop
-     world->barycentric transforms into one (4, 3*kc) f32 block (rows =
-     x/y/z/affine, lanes = [U | V | W] per triangle), so a whole cluster
-     is ONE aligned DMA (12 KB at kc=256) and its intersection is a single
-     matmul.
+     world->barycentric transforms into one (24, kc) f32 block — three
+     8-sublane field groups (U/V/W), rows 0-3 of each = x/y/z/affine —
+     so a whole cluster is ONE aligned DMA (24 KB at kc=256) whose
+     field-major layout lets VISIT_BATCH blocks land lane-adjacent and
+     intersect as a single matmul.
   2. XLA CULL    — rays are binned into coherent tiles of T rays (default
      TILE=256; see intersect_clusters(tile=)) (stable sort by direction
      octant + origin Morton; primary rays keep image order). Each tile is
@@ -31,11 +32,13 @@ as dense blocks, and all intersection math is matmul/VPU-shaped).
   3. PALLAS KERNEL — one grid step per tile. The leading chunk of the
      tile's list is DMA'd to SMEM (more only if the list is long); a
      dynamic while_loop streams candidate clusters HBM->VMEM (NBUF-deep
-     async pipeline) and evaluates all 256 rays x 256 triangles per visit
-     as one skinny (768,4)x(4,512) MXU matmul + VPU validity masks. A
-     single bit-packed min-reduce tracks the winner: the low 8 mantissa
-     bits of each candidate t are overwritten with the triangle index, so
-     one i32 min gives both nearest-t and its triangle. The loop EXITS as
+     async pipeline) and evaluates 256 rays x VISIT_BATCH*kc triangles
+     per loop step as one skinny K=12 MXU matmul + VPU validity masks
+     (per-visit cost is launch-bound, so batching list entries into one
+     contraction amortizes it). A single bit-packed min-reduce tracks the
+     winner: the low log2(VISIT_BATCH*kc) mantissa bits of each candidate
+     t are overwritten with the step-local triangle index, so one i32 min
+     gives nearest-t, its triangle, and its list entry. The loop EXITS as
      soon as the next cluster's conservative entry distance exceeds every
      ray's current best (near-to-far order makes this exact).
   4. XLA RESOLVE — one row gather per ray fetches the winning triangle and
@@ -69,7 +72,11 @@ TILE = 256             # default rays per tile (see intersect_clusters(tile=));
                        # Mosaic lane alignment bounds it below at 128
 SUB_W = 64             # rays per cull sub-bundle (frustum granularity)
 NBUF = 4               # cluster DMA pipeline depth
-EXIT_CHUNK = 4         # visits between early-exit checks. Measured on the
+EXIT_CHUNK = 1         # loop STEPS between early-exit checks (a step spans
+                       # VISIT_BATCH entries, so the entry-level cadence is
+                       # EXIT_CHUNK*VISIT_BATCH = 4, matching the round-4
+                       # winner). Round-4 notes (entry units): visits between
+                       # early-exit checks. Measured on the
                        # dragon @240x135 (tools/ab_dragon.py, round 4):
                        # exit4 40.8 fps vs exit8 39.0 — tighter exit bounds
                        # beat the halved check cadence; exit2 41.1 vs exit4
@@ -78,6 +85,23 @@ EXIT_CHUNK = 4         # visits between early-exit checks. Measured on the
                        # ray tiles for silhouette culls) measured 29.2 fps —
                        # per-tile launch overhead dominates; keep TILE=256.
 DISABLE_EARLY_EXIT = False   # debug/ablation knob
+# Candidate-list entries evaluated per kernel loop step. Each visit's cost
+# is launch-bound (~2.3 us for a (768,4)x(4,512) matmul), so one step DMAs
+# VISIT_BATCH consecutive list entries into lane-adjacent VMEM slices and
+# evaluates them as ONE (12, V*3kc)x(12, 2T) contraction + one epilogue.
+# The packed winner's low bits then index V*kc triangles; the kernel can't
+# recover the winning CLUSTER id per lane (no per-lane SMEM gather), so it
+# carries the step's base list position and XLA resolves the id with one
+# batched take_along_axis into the candidate lists. Power of two; 1 = the
+# round-4 per-entry loop. Measured round 5 (tools/ab_dragon.py /
+# tools/ab_island.py, vbN exitN): the ENTRY-level exit cadence
+# (EXIT_CHUNK*VISIT_BATCH) must stay at the round-4 winner of 4 or
+# over-visiting eats the amortization (dragon vb4/exit4 35.8 fps vs
+# vb4/exit1 40.8 pre-shadow-proxy). At the matched cadence, vb4/exit1
+# beats vb1/exit4 everywhere once sweeps are short (coarse proxies make
+# them launch-bound): dragon 55.6 vs 53.5 fps, bunny @160x90 130.1 vs
+# 125.4, island @240x135 21.3 vs 20.5.
+VISIT_BATCH = 4
 # Refine the approx reciprocal with one Newton step in the visit. It was
 # briefly OFF for +1.3 fps on the dragon (the packed-t winner only ORDERS
 # candidates and the XLA resolve recomputes exact t/u/v), but the raw
@@ -99,7 +123,11 @@ class MeshClusters:
 
     cbmin: jax.Array     # (C, 3) cluster AABB min
     cbmax: jax.Array     # (C, 3)
-    gmat: jax.Array      # (C, 8, 3*KC) Woop blocks (rows 4-7 zero pad)
+    gmat: jax.Array      # (C, 24, KC) Woop blocks, FIELD-MAJOR: sublane
+                         # groups [0:8)=U, [8:16)=V, [16:24)=W; rows 0-2 of
+                         # each group = x/y/z, row 3 = affine const, rows
+                         # 4-7 zero pad (keeps each group 8-sublane aligned
+                         # so the kernel's 4-row reads stay layout-free)
     tri_rows: jax.Array  # (C*KC, 16): a(3) e1(3) e2(3) n(3) mat 0 0 0
     bounds: jax.Array    # (2, 3) global mesh AABB (for ray-sort Morton keys)
     # Self-intersection guard for LOD proxy sets (scene/lod.py): the proxy
@@ -114,8 +142,8 @@ class MeshClusters:
 
     @property
     def kc(self) -> int:
-        """Triangles per cluster (a power of two; from gmat's lane extent)."""
-        return self.gmat.shape[2] // 3
+        """Triangles per cluster (a power of two; gmat's lane extent)."""
+        return self.gmat.shape[2]
 
 
 def _woop_rows(a: np.ndarray, b: np.ndarray, c: np.ndarray):
@@ -186,10 +214,11 @@ def pack_cluster_blocks(a: np.ndarray, b: np.ndarray, c: np.ndarray,
 
     cbmin = np.zeros((C, 3), np.float32)
     cbmax = np.zeros((C, 3), np.float32)
-    gmat = np.zeros((C, 8, 3 * kc), np.float32)
+    gmat = np.zeros((C, 24, kc), np.float32)
     tri_rows = np.zeros((C * kc, 16), np.float32)
-    # Degenerate padding slots: const=-1, rows=0 (never valid).
-    gmat[:, 3, :] = -1.0
+    # Degenerate padding slots: const=-1, rows=0 (never valid). Row 3 of
+    # each 8-sublane field group is that field's affine-const row.
+    gmat[:, 3::8, :] = -1.0
 
     e1 = b_s - a_s
     e2 = c_s - a_s
@@ -202,13 +231,10 @@ def pack_cluster_blocks(a: np.ndarray, b: np.ndarray, c: np.ndarray,
         sl = slice(lo, hi)
         cbmin[ci] = tmin[order[sl]].min(axis=0)
         cbmax[ci] = tmax[order[sl]].max(axis=0)
-        for comp in range(3):   # x, y, z rows
-            gmat[ci, comp, 0 * kc:0 * kc + cnt] = rows[sl, 0, comp]
-            gmat[ci, comp, 1 * kc:1 * kc + cnt] = rows[sl, 1, comp]
-            gmat[ci, comp, 2 * kc:2 * kc + cnt] = rows[sl, 2, comp]
-        gmat[ci, 3, 0 * kc:0 * kc + cnt] = const[sl, 0]
-        gmat[ci, 3, 1 * kc:1 * kc + cnt] = const[sl, 1]
-        gmat[ci, 3, 2 * kc:2 * kc + cnt] = const[sl, 2]
+        for f in range(3):      # U, V, W field groups
+            for comp in range(3):   # x, y, z rows
+                gmat[ci, f * 8 + comp, :cnt] = rows[sl, f, comp]
+            gmat[ci, f * 8 + 3, :cnt] = const[sl, f]
         dst = slice(ci * kc, ci * kc + cnt)
         tri_rows[dst, 0:3] = a_s[sl]
         tri_rows[dst, 3:6] = e1[sl]
@@ -315,10 +341,13 @@ def _tile_cull(o_t, d_t, act_t, tmax_t, cbmin, cbmax):
 
 def _trace_kernel(lens_smem, lists_hbm, gmat_hbm, rays_ref, out_ref,
                   lst, gbuf, sem_l, sem_g, *, any_hit=False, kc=KC,
-                  tile=TILE):
+                  tile=TILE, vb=1):
     T = tile
+    V = vb
     i = pl.program_id(0)
     n = lens_smem[i]
+    # Loop steps cover V consecutive list entries each.
+    n_steps = jax.lax.div(n + (V - 1), V)
     Cp = lst.shape[1]
 
     # List DMA in LIST_CHUNK pieces: typical tiles need one 4 KB chunk, not
@@ -355,37 +384,60 @@ def _trace_kernel(lens_smem, lists_hbm, gmat_hbm, rays_ref, out_ref,
     init_packed = pltpu.bitcast(lim[0:1, :], jnp.int32)    # (1, T)
     tmin = lim[1:2, :]                                     # (1, T)
 
-    def get_dma(slot, j):
-        cid = lst[0, j]
-        return pltpu.make_async_copy(gmat_hbm.at[cid], gbuf.at[slot],
-                                     sem_g.at[slot])
+    def get_dma(slot, e):
+        # Entry e of the candidate list -> lane slice e%V of VMEM slot
+        # (slot = (e // V) % NBUF). gmat rows are FIELD-MAJOR (24, kc):
+        # sublane groups [0:8)=U, [8:16)=V, [16:24)=W (4 rows used + 4 pad
+        # each, keeping every group 8-sublane aligned), so one DMA per
+        # entry lands all three fields at lane offset (e%V)*kc — a
+        # multiple of 128 for every supported kc.
+        cid = lst[0, jnp.minimum(e, Cp - 1)]
+        return pltpu.make_async_copy(
+            gmat_hbm.at[cid, :, :],
+            gbuf.at[slot, :, pl.ds(jax.lax.rem(e, V) * kc, kc)],
+            sem_g.at[slot, jax.lax.rem(e, V)])
 
     @pl.when(n > 0)
     def _():
-        for jj in range(NBUF - 1):
-            @pl.when(jj < n)
+        for ee in range((NBUF - 1) * V):
+            @pl.when(ee < n)
             def _():
-                get_dma(jj, jj).start()
+                get_dma((ee // V) % NBUF, ee).start()
 
-    k_iota = jax.lax.broadcasted_iota(jnp.int32, (kc, T), 0)
-    kmask = jnp.int32(kc - 1)
+    VK = V * kc
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (VK, T), 0)
+    kmask = jnp.int32(VK - 1)
+    # Which list entry (relative to the step base) each packed-index row
+    # belongs to: rows [v*kc, (v+1)*kc) came from entry base+v.
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (VK, T), 0) // kc
 
-    # The winner state (best_packed, best_cid) rides the while CARRY as
+    # The winner state (best_packed, best_jb) rides the while CARRY as
     # VALUES. Ref-carried state read back inside the loop body/cond is
     # discharged to its pre-loop value by Pallas (verified empirically:
     # both the cond and cross-iteration body reads went stale, silently
     # corrupting winner tracking) — only pure DMA/semaphore ops live under
-    # pl.when; all state updates are masked by `ok` instead.
-    def _visit(j, best_packed, best_cid):
-        ok = j < n
-        js = jnp.minimum(j, Cp - 1)
-        slot = jax.lax.rem(js, NBUF)
+    # pl.when; all state updates are masked by `ok` instead. best_jb is
+    # the winning step's BASE list position (j*V); the winning entry is
+    # best_jb + (packed_idx >> log2kc), resolved in XLA.
+    def _visit(j, best_packed, best_jb):
+        ok = j < n_steps
+        base = j * V
+        slot = jax.lax.rem(j, NBUF)
 
-        @pl.when(ok)
-        def _():
-            get_dma(slot, js).wait()
+        for v in range(V):
+            @pl.when(base + v < n)
+            def _(v=v):
+                get_dma(slot, base + v).wait()
 
-        g = gbuf[slot][0:4, :]                         # (4, 3KC)
+        # Assemble the step's matmul operand: the three 4-row field groups
+        # of the slot's V lane-adjacent blocks, lane-concatenated to
+        # [U-all | V-all | W-all] (each "-all" spans VK lanes in block
+        # order, so packed index v*kc+t maps back to entry base+v). The
+        # concat moves 48 KB/step — trivial next to the DMA traffic it
+        # lets one matmul + one epilogue amortize over V entries.
+        gb = gbuf[slot]
+        g = jnp.concatenate([gb[0:4, :], gb[8:12, :], gb[16:20, :]],
+                            axis=1)                    # (4, 3*VK)
         # Precision is load-bearing: the MXU's DEFAULT matmul precision is
         # a single bf16 pass, and the Woop rows of fine triangles are large
         # (|U| ~ 1/edge) with the barycentrics emerging from catastrophic
@@ -396,15 +448,15 @@ def _trace_kernel(lens_smem, lists_hbm, gmat_hbm, rays_ref, out_ref,
         g_hi = g.astype(jnp.bfloat16)
         g_lo = (g - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         dn = (((0,), (0,)), ((), ()))
-        g12 = jnp.concatenate([g_hi, g_hi, g_lo], axis=0)  # (12, 3kc)
+        g12 = jnp.concatenate([g_hi, g_hi, g_lo], axis=0)  # (12, 3*VK)
         rr = jax.lax.dot_general(g12, od12, dn,
                                  preferred_element_type=jnp.float32)
-        ou = rr[:kc, :T]
-        ov = rr[kc:2 * kc, :T]
-        ow = rr[2 * kc:, :T]
-        du = rr[:kc, T:]
-        dv = rr[kc:2 * kc, T:]
-        dw = rr[2 * kc:, T:]
+        ou = rr[:VK, :T]
+        ov = rr[VK:2 * VK, :T]
+        ow = rr[2 * VK:, :T]
+        du = rr[:VK, T:]
+        dv = rr[VK:2 * VK, T:]
+        dw = rr[2 * VK:, T:]
         bt = pltpu.bitcast(best_packed & ~kmask, jnp.float32)
         r0 = pl.reciprocal(dw, approx=True)
         if NEWTON_RCP:
@@ -422,68 +474,76 @@ def _trace_kernel(lens_smem, lists_hbm, gmat_hbm, rays_ref, out_ref,
         # residual rounding (HIGHEST-precision matmul is ~f32 but not
         # bit-identical); overlapping acceptance double-hits resolve via
         # the nearest-t min and the XLA resolve recomputes exact t/u/v.
-        valid = (m >= -1e-3) & (t > tmin) & (t < bt)   # NaNs fail all three
+        # Rows of entries past the list's end read stale VMEM (never
+        # DMA'd this step): mask them by list position, which also covers
+        # whole steps past n_steps (ok stays as a belt-and-braces mask on
+        # the winner update).
+        valid = ((m >= -1e-3) & (t > tmin) & (t < bt)  # NaNs fail all three
+                 & (base + sub_iota < n))
         tt = jnp.where(valid, t, jnp.float32(3.0e38))
         packed = (pltpu.bitcast(tt, jnp.int32) & ~kmask) | k_iota
         pmin = jnp.min(packed, axis=0, keepdims=True)  # (1, T)
         better = (pmin < best_packed) & ok
         best_packed = jnp.where(better, pmin, best_packed)
-        best_cid = jnp.where(better, lst[0, js], best_cid)
-        # Refill the PREVIOUS iteration's slot (entry js+NBUF-1 lands in
-        # slot (js-1) % NBUF): no iteration ever DMA-writes the slot it is
+        best_jb = jnp.where(better, base, best_jb)
+        # Refill the PREVIOUS iteration's slot (step j+NBUF-1 lands in
+        # slot (j-1) % NBUF): no iteration ever DMA-writes the slot it is
         # reading. Starting the refill of the CURRENT slot in the same
         # iteration is a write-after-read race — Mosaic does not order
         # async-copy writes against in-flight vector reads of the same
         # buffer (symptom: ~0.5-9%% of rays returned a different cluster's
         # t with the right cid; deterministic under the synchronous
         # interpreter, speckle on hardware).
-        nxt = js + NBUF - 1
-        @pl.when(ok & (nxt < n))
-        def _():
-            get_dma(jax.lax.rem(nxt, NBUF), nxt).start()
-        return best_packed, best_cid
+        nxt = j + NBUF - 1
+        nxt_slot = jax.lax.rem(nxt, NBUF)
+        for v in range(V):
+            @pl.when(ok & (nxt * V + v < n))
+            def _(v=v):
+                get_dma(nxt_slot, nxt * V + v).start()
+        return best_packed, best_jb
 
     def cond(st):
         # Near-to-far lists: once the next cluster's conservative entry
         # exceeds every ray's current best, nothing can improve. The
-        # maxbest bound is refreshed once per EXIT_CHUNK visits: the (1, T)
+        # maxbest bound is refreshed once per EXIT_CHUNK steps: the (1, T)
         # max-reduce costs ~20% of a visit, so per-visit checking loses
         # more than it saves. In ANY-HIT mode (opaque shadow queries) a
         # ray with any hit stops constraining the bound entirely, so fully
         # shadowed tiles exit after their first blocking cluster.
-        j, best_packed, best_cid = st
+        j, best_packed, best_jb = st
         if DISABLE_EARLY_EXIT:
-            return j < n
+            return j < n_steps
         if any_hit:
-            bound = jnp.max(jnp.where(best_cid >= 0,
+            bound = jnp.max(jnp.where(best_jb >= 0,
                                       jnp.int32(-0x80000000), best_packed))
         else:
             bound = jnp.max(best_packed)
-        return (j < n) & (lst[1, jnp.minimum(j, Cp - 1)] < bound)
+        return (j < n_steps) & (lst[1, jnp.minimum(j * V, Cp - 1)] < bound)
 
     def chunk(st):
-        j, best_packed, best_cid = st
+        j, best_packed, best_jb = st
         for k in range(EXIT_CHUNK):
-            best_packed, best_cid = _visit(j + k, best_packed, best_cid)
-        return j + EXIT_CHUNK, best_packed, best_cid
+            best_packed, best_jb = _visit(j + k, best_packed, best_jb)
+        return j + EXIT_CHUNK, best_packed, best_jb
 
-    j, best_packed, best_cid = jax.lax.while_loop(
+    j, best_packed, best_jb = jax.lax.while_loop(
         cond, chunk, (jnp.int32(0), init_packed,
                       jnp.full((1, T), -1, jnp.int32)))
-    jc = jnp.minimum(j, n)
+    jc = jnp.minimum(j, n_steps)
 
     # Drain the DMA pipeline: an early exit leaves up to NBUF-1 prefetched
-    # copies in flight; their semaphores MUST be consumed before the kernel
-    # ends or the device wedges.
-    def _drain(jj, x):
-        get_dma(jax.lax.rem(jj, NBUF), jj).wait()
+    # steps' copies in flight (entries [jc*V, min((jc+NBUF-1)*V, n)));
+    # their semaphores MUST be consumed before the kernel ends or the
+    # device wedges.
+    def _drain(e, x):
+        get_dma(jax.lax.rem(jax.lax.div(e, V), NBUF), e).wait()
         return x
-    jax.lax.fori_loop(jc, jnp.minimum(jc + NBUF - 1, n), _drain,
+    jax.lax.fori_loop(jc * V, jnp.minimum((jc + NBUF - 1) * V, n), _drain,
                       jnp.int32(0))
 
     out_ref[0:1, :] = best_packed
-    out_ref[1:2, :] = best_cid
-    out_ref[2:3, :] = jnp.broadcast_to(jc, (1, T))    # visits (loop iters)
+    out_ref[1:2, :] = best_jb
+    out_ref[2:3, :] = jnp.broadcast_to(jc, (1, T))    # loop steps run
     out_ref[3:4, :] = jnp.broadcast_to(n, (1, T))     # list length
 
 
@@ -492,23 +552,25 @@ def _run_kernel(lens, lists, gmat, rays, n_tiles, interpret=False,
     T = rays.shape[1] // (3 * n_tiles)   # rays is (4, n_tiles * 3T)
     assert rays.shape[1] == 3 * T * n_tiles, (rays.shape, n_tiles)
     Cp = lists.shape[2]
-    kc = gmat.shape[2] // 3
+    kc = gmat.shape[2]
+    vb = max(1, VISIT_BATCH)
     return pl.pallas_call(
-        functools.partial(_trace_kernel, any_hit=any_hit, kc=kc, tile=T),
+        functools.partial(_trace_kernel, any_hit=any_hit, kc=kc, tile=T,
+                          vb=vb),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # lens (n_tiles,)
             pl.BlockSpec(memory_space=pl.ANY),       # lists (n_tiles,2,Cp)
-            pl.BlockSpec(memory_space=pl.ANY),       # gmat (C,4,3KC)
+            pl.BlockSpec(memory_space=pl.ANY),       # gmat (C,24,kc)
             pl.BlockSpec((4, 3 * T), lambda i: (0, i)),
         ],
         out_specs=pl.BlockSpec((4, T), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((4, n_tiles * T), jnp.int32),
         scratch_shapes=[
             pltpu.SMEM((2, Cp), jnp.int32),
-            pltpu.VMEM((NBUF, 8, 3 * kc), jnp.float32),
+            pltpu.VMEM((NBUF, 24, vb * kc), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.SemaphoreType.DMA((NBUF, vb)),
         ],
         interpret=interpret,
     )(lens, lists, gmat, rays)
@@ -556,7 +618,11 @@ def _intersect_impl(mc: MeshClusters, o, d, t_lo, t_hi, interpret=False,
     # (4, 3T); both need 128-multiple lane extents on hardware.
     assert T % 128 == 0 and T >= 128, T
     kc = mc.kc
-    kmask = jnp.int32(kc - 1)   # low mantissa bits carry the tri index
+    vb = max(1, VISIT_BATCH)
+    # Low mantissa bits carry the triangle index WITHIN A STEP's vb
+    # lane-concatenated blocks: idx = v*kc + tri, v = the entry offset
+    # from the winning step's base list position.
+    kmask = jnp.int32(vb * kc - 1)
     Pp = ((P + T - 1) // T) * T
     pad = Pp - P
     active = jnp.max(jnp.abs(o), axis=1) < 1.0e30
@@ -645,17 +711,32 @@ def _intersect_impl(mc: MeshClusters, o, d, t_lo, t_hi, interpret=False,
     out = _run_kernel(lens, lists, mc.gmat, rays, n_tiles,
                       interpret=interpret, any_hit=any_hit)
 
+    # Recover the winning CLUSTER id from the kernel's (packed, base list
+    # position) words while rays are still in tile order: entry offset =
+    # packed_idx // kc, then one batched take_along_axis into the per-tile
+    # candidate lists (the kernel itself cannot gather SMEM per lane).
+    # any_hit consumers only need the hit BIT, so they skip the gather.
+    jb_t = out[1].reshape(n_tiles, T)
+    if any_hit:
+        cid_s = jnp.where(jb_t >= 0, 0, -1)
+    else:
+        sub_t = (out[0].reshape(n_tiles, T) & kmask) // kc
+        pos = jnp.clip(jb_t + sub_t, 0, lists.shape[2] - 1)
+        cid_s = jnp.take_along_axis(lists[:, 0, :], pos, axis=1)
+        cid_s = jnp.where(jb_t >= 0, cid_s, -1)
+    words = jnp.stack([out[0], cid_s.reshape(-1)], axis=1)   # (Pp, 2)
+
     # Unsort the two winner words: ONE (Pp, 2) permutation scatter by sidx
     # (instead of building an inverse permutation + two gathers), then
     # resolve attributes in original ray order.
     if presort:
         res2 = jnp.zeros((Pp, 2), jnp.int32).at[sidx].set(
-            out[0:2].T, unique_indices=True)
+            words, unique_indices=True)
         packed = res2[:P, 0]
         cid = res2[:P, 1]
     else:
-        packed = out[0, :P]
-        cid = out[1, :P]
+        packed = words[:P, 0]
+        cid = words[:P, 1]
 
     hit = cid >= 0
     if any_hit:
@@ -674,7 +755,7 @@ def _intersect_impl(mc: MeshClusters, o, d, t_lo, t_hi, interpret=False,
         if stats:
             return res, (out[2, ::T], out[3, ::T], lens)
         return res
-    kk = packed & kmask
+    kk = packed & jnp.int32(kc - 1)   # triangle index WITHIN its cluster
     flat = jnp.where(hit, cid * kc + kk, 0)
     row = mc.tri_rows[flat]                            # THE per-ray gather
     a = row[:, 0:3]

@@ -219,8 +219,8 @@ class SurfaceClusterTable:
         f32 = np.float32
         self._cbmin = jnp.full((self.cap, 3), 1e30, jnp.float32)
         self._cbmax = jnp.full((self.cap, 3), -1e30, jnp.float32)
-        tmpl = np.zeros((self.cap, 8, 3 * KC), f32)
-        tmpl[:, 3, :] = -1.0   # degenerate Woop rows: never a valid hit
+        tmpl = np.zeros((self.cap, 24, KC), f32)
+        tmpl[:, 3::8, :] = -1.0   # degenerate Woop rows: never a valid hit
         self._gmat = jnp.asarray(tmpl)
         self._tri_rows = jnp.zeros((self.cap * KC, 16), jnp.float32)
         self._bounds = jnp.asarray(np.asarray(world_bounds, f32))
