@@ -30,7 +30,13 @@ GOLDEN_SCENES = ["test", "cornell", "mirror_spheres", "primitives", "boxes",
                  # and the streamed-world greedy-surface path (incl. its
                  # pooled shadow-proxy LOD) drift silently if a threshold
                  # or proxy change shifts pixels.
-                 "cluster_forced", "island_surface"]
+                 "cluster_forced", "island_surface",
+                 # The ultra-dense-mesh PROXY ROUTING contract (VERDICT r4
+                 # #8): primary rays on the fine vertex-clustered set,
+                 # bounce rays on the coarse LOD set, shadow rays on the
+                 # extra-coarse occlusion set, with composed t_biases —
+                 # the dragon's quality-critical gates at toy scale.
+                 "fine_forced"]
 FB_W, FB_H, FRAMES = 48, 28, 4
 
 
@@ -61,6 +67,54 @@ def _island_surface_scene():
     return dataclasses.replace(sc, defaults=pose)
 
 
+def _fine_forced_scene():
+    """The dragon's proxy-routing chain forced at toy scale: a 5.1k-tri
+    icosphere ships fine/LOD/shadow cluster sets built at tiny budgets
+    (production gates: scene/tables.py PRIMARY_LOD_TARGET_TRIS /
+    LOD_TARGET_TRIS / SHADOW_LOD_TARGET_TRIS), so primary rays trace the
+    fine set, bounces the LOD set, shadows the occlusion set, and the
+    t_bias composition (lod = base + fine, shadow = base + fine + shadow)
+    is pixel-locked. Routing or bias drift fails this golden."""
+    import dataclasses
+
+    from yetanotherconsolegameengine_tpu.ops.mesh_clusters import (
+        build_clusters)
+    from yetanotherconsolegameengine_tpu.scene.lod import simplify_soup
+    from yetanotherconsolegameengine_tpu.scene.materials import Material
+    from yetanotherconsolegameengine_tpu.scene.mesh_loader import (
+        make_icosphere, transform_mesh)
+    from yetanotherconsolegameengine_tpu.scene.tables import (
+        PROXY_KC, SceneBuilder)
+
+    s = SceneBuilder("fine_forced")
+    s.add_xz_rect(-6.0, 6.0, -6.0, 3.0, 0.0,
+                  Material.checker((0.8, 0.8, 0.8), (0.2, 0.2, 0.2), 0.8))
+    s.add_light((2.5, 4.0, 1.5), (1.0, 0.95, 0.9), 70.0)
+    tris = transform_mesh(make_icosphere(4), normalize=True, scale=1.3,
+                          translate=(0.0, 0.9, -2.4))
+    s.add_mesh_triangles(tris, Material.solid((0.85, 0.7, 0.55)))
+    mid = s._mesh_tris[-1][1]
+    s.set_camera((0.0, 1.3, 1.2), fov=60.0)
+    scene = s.build()
+
+    mats = np.full(tris.shape[0], mid, np.int32)
+    full = build_clusters(tris[:, 0], tris[:, 1], tris[:, 2], mats)
+    f_tris, f_mats, fine_bias = simplify_soup(tris, mats, 2048)
+    fine = build_clusters(f_tris[:, 0], f_tris[:, 1], f_tris[:, 2],
+                          f_mats, kc=PROXY_KC)
+    l_tris, l_mats, lod_bias = simplify_soup(tris, mats, 512)
+    lod = build_clusters(l_tris[:, 0], l_tris[:, 1], l_tris[:, 2], l_mats,
+                         t_bias=lod_bias + fine_bias, kc=PROXY_KC)
+    sh_tris, sh_mats, sh_bias = simplify_soup(l_tris, l_mats, 128)
+    shadow = build_clusters(sh_tris[:, 0], sh_tris[:, 1], sh_tris[:, 2],
+                            sh_mats,
+                            t_bias=lod_bias + fine_bias + sh_bias,
+                            kc=PROXY_KC)
+    return dataclasses.replace(
+        scene, mesh=None, mesh_clusters=full, mesh_clusters_fine=fine,
+        mesh_clusters_lod=lod, mesh_clusters_shadow=shadow)
+
+
 def _scene(name: str):
     from yetanotherconsolegameengine_tpu.scene.builders import SCENE_BUILDERS
 
@@ -70,6 +124,8 @@ def _scene(name: str):
         return cluster_test_scene(subdiv=3)
     if name == "island_surface":
         return _island_surface_scene()
+    if name == "fine_forced":
+        return _fine_forced_scene()
     return SCENE_BUILDERS[name]()
 
 

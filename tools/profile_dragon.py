@@ -48,6 +48,9 @@ def main():
 
     use_lod = scene.mesh_clusters_lod is not None and "nolod" not in sys.argv
     mc_lod = scene.mesh_clusters_lod if use_lod else mc
+    mc_shad = (getattr(scene, "mesh_clusters_shadow", None)
+               if use_lod else None) or mc_lod
+    print(f"occlusion set: {mc_shad.n_clusters} clusters")
     print(f"secondary set: {'LOD' if use_lod else 'full'} "
           f"({mc_lod.n_clusters} clusters, bias {mc_lod.t_bias:.4f})")
     use_fine = (getattr(scene, "mesh_clusters_fine", None) is not None
@@ -57,7 +60,7 @@ def main():
           f"({mc_prim.n_clusters} clusters)")
 
     def sweep_stats(o, d, tlo, thi, any_hit=False, secondary=False):
-        m = mc_lod if secondary else mc_prim
+        m = (mc_shad if any_hit else mc_lod) if secondary else mc_prim
         tlo = jnp.maximum(jnp.broadcast_to(jnp.asarray(tlo, jnp.float32),
                                            (o.shape[0],)),
                           jnp.float32(m.t_bias))

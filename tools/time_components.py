@@ -53,9 +53,25 @@ def main():
     name = sys.argv[1] if len(sys.argv) > 1 else "dragon"
     W = int(sys.argv[2]) if len(sys.argv) > 2 else 240
     H = int(sys.argv[3]) if len(sys.argv) > 3 else 135
-    scene = SCENE_BUILDERS[name]()
+    if name == "island":
+        # Streamed minecraft-like world on the surface-cluster path, fully
+        # loaded (the bench's steady state), spawn-orbit pose.
+        import dataclasses
+        from yetanotherconsolegameengine_tpu.world.volume_scene import (
+            build_minecraft_like)
+        vs = build_minecraft_like()
+        vs.manager.ensure_all_loaded(vs.pos)
+        scene = vs.update(1.0 / 30.0)
+        eye = vs.pos.copy()
+        eye[1] += 6.0
+        scene = dataclasses.replace(
+            scene, defaults=(float(eye[0]), float(eye[1]), float(eye[2]),
+                             0.7, -0.35, scene.defaults[5]))
+    else:
+        scene = SCENE_BUILDERS[name]()
     mc = scene.mesh_clusters
     mcl = scene.mesh_clusters_lod or mc
+    mcs = getattr(scene, "mesh_clusters_shadow", None) or mcl
     hi_w, hi_h = W, H * 2
     cam = CameraPose.create(list(scene.defaults[0:3]), scene.defaults[3],
                             scene.defaults[4], scene.defaults[5])
@@ -112,18 +128,21 @@ def main():
         from yetanotherconsolegameengine_tpu.ops.mesh_clusters import (
             intersect_clusters)
 
-        def shadow_sweep(c, o, d):
+        def shadow_sweep(c, o, d, m=mcs):
             so = jnp.tile(o, (L, 1))
             sd = jnp.tile(d, (L, 1))
-            h = intersect_clusters(mcl, so + c * 0, sd, 1e-3,
+            h = intersect_clusters(m, so + c * 0, sd, 1e-3,
                                    jnp.full((P * L,), 8.0, jnp.float32),
                                    any_hit=bool(scene.mesh_all_opaque),
                                    presort=False)
             return jnp.sum(h.t * 0) + jnp.sum(
                 h.hit.astype(jnp.float32)) * 1e-9
 
-        timeit(f"shadow sweep (LOD, {L} lights, P*L)", shadow_sweep,
+        timeit(f"shadow sweep (occl set, {L} lights, P*L)", shadow_sweep,
                o_j, d_j)
+        if mcs is not mcl:
+            timeit(f"shadow sweep (LOD set, {L} lights, P*L)",
+                   lambda c, o, d: shadow_sweep(c, o, d, m=mcl), o_j, d_j)
 
     # 4. sort + unsort only (the binning infrastructure at P rays)
     def sort_only(c, o, d):

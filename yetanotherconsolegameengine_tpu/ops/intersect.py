@@ -456,8 +456,17 @@ def intersect_scene(scene, o, d, tmin, tmax, shadow: bool = False,
         mc = scene.mesh_clusters
         lod_set = getattr(scene, "mesh_clusters_lod", None)
         fine_set = getattr(scene, "mesh_clusters_fine", None)
+        shadow_set = getattr(scene, "mesh_clusters_shadow", None)
         mc_tmin = tmin
-        if lod and lod_set is not None:
+        if lod and shadow and shadow_set is not None:
+            # Occlusion-only query against the extra-coarse shadow proxy
+            # (tables.py SHADOW_LOD_TARGET_TRIS): shadow-test work scales
+            # with the proxy's triangle count and occlusion tolerates the
+            # simplification.
+            mc = shadow_set
+            mc_tmin = jnp.maximum(jnp.asarray(tmin, jnp.float32),
+                                  jnp.float32(mc.t_bias))
+        elif lod and lod_set is not None:
             mc = lod_set
             mc_tmin = jnp.maximum(jnp.asarray(tmin, jnp.float32),
                                   jnp.float32(mc.t_bias))

@@ -34,13 +34,25 @@ CLUSTER_MIN_TRIS = 16384
 # full mesh.
 LOD_TARGET_TRIS = 24576
 
+# OCCLUSION proxy budget: shadow sweeps are the dragon frame's single
+# biggest cost (round-5 profile: 6.7 ms of a 24.5 ms frame for the
+# P*L any-hit sweep vs the 24k-tri LOD set — the cluster kernel's cost is
+# ray-triangle WORK, not launch count), and binary/colored occlusion
+# tolerates far more simplification than bounce radiance. Meshes whose
+# secondary LOD set is still >= 2x this budget also build an extra-coarse
+# shadow-only set.
+SHADOW_LOD_TARGET_TRIS = 6144
+
 # PRIMARY-ray LOD proxy budget: hero meshes far above terminal-resolution
 # pixel density (the dragon carries ~70 tris/pixel at 240x135) also get a
 # geometrically faithful FINE proxy whose vertex-clustering cell is far
 # below a pixel footprint — primary rays trace it instead of the full set
 # (cfg.primary_mesh_lod gates per frame). Built only when the mesh exceeds
 # 3x this budget, so e.g. the 69k-tri bunny keeps tracing full-res.
-PRIMARY_LOD_TARGET_TRIS = 147456
+# Round-5 A/B on the dragon @240x135: 147k -> 96k costs image delta vs
+# full-primary of mean 0.00260/p99 0.036 (vs 147k's own 0.00195/0.031 —
+# same max, silhouette-edge pixel class) and buys 54.6 -> 55.6 fps.
+PRIMARY_LOD_TARGET_TRIS = 98304
 
 # Proxy sets pack 512-triangle clusters (vs the full mesh's 256): cluster
 # visits are launch-bound (~2.3 us regardless of width), so doubling the
@@ -212,6 +224,12 @@ class SceneData:
     # (sub-pixel vertex clustering, see PRIMARY_LOD_TARGET_TRIS); None for
     # meshes near or below screen pixel density.
     mesh_clusters_fine: Optional[Any] = None
+    # Extra-coarse proxy for OCCLUSION-ONLY queries (shadow transmittance;
+    # see SHADOW_LOD_TARGET_TRIS): shadow sweeps test ray-triangle work
+    # proportional to the proxy's triangle count, and occlusion tolerates
+    # far more simplification than bounce radiance. Selected by
+    # intersect_scene when shadow=True and lod=True.
+    mesh_clusters_shadow: Optional[Any] = None
     # Does ANY material have transparency > 0? When False (known at scene
     # build), the wavefront trace statically elides its refraction stack —
     # the (S, P) stack arrays cost ~14 ms/frame at 64.8k rays even when no
@@ -406,6 +424,7 @@ class SceneBuilder:
         mesh_clusters = None
         mesh_clusters_lod = None
         mesh_clusters_fine = None
+        mesh_clusters_shadow = None
         if self._mesh_tris:
             tris = np.concatenate(
                 [np.asarray(t, f32).reshape(-1, 3, 3)
@@ -444,6 +463,18 @@ class SceneBuilder:
                     mesh_clusters_lod = build_clusters(
                         lod_tris[:, 0], lod_tris[:, 1], lod_tris[:, 2],
                         lod_mats, t_bias=t_bias + fine_bias, kc=PROXY_KC)
+                    # Occlusion-only set: simplify the LOD soup further
+                    # (shadow tests scale with triangle count; shadows
+                    # tolerate it — measured image delta on the dragon
+                    # below 2e-3 mean).
+                    if lod_tris.shape[0] >= 2 * SHADOW_LOD_TARGET_TRIS:
+                        s_tris, s_mats, s_bias = simplify_soup(
+                            lod_tris, lod_mats, SHADOW_LOD_TARGET_TRIS)
+                        mesh_clusters_shadow = build_clusters(
+                            s_tris[:, 0], s_tris[:, 1], s_tris[:, 2],
+                            s_mats,
+                            t_bias=t_bias + fine_bias + s_bias,
+                            kc=PROXY_KC)
             else:
                 # Sub-cluster meshes build ON DEVICE via the LBVH (Morton
                 # sort + complete-tree reduction, ops/lbvh.py) — the
@@ -475,6 +506,7 @@ class SceneBuilder:
             mesh=mesh, mesh_clusters=mesh_clusters,
             mesh_clusters_lod=mesh_clusters_lod,
             mesh_clusters_fine=mesh_clusters_fine,
+            mesh_clusters_shadow=mesh_clusters_shadow,
             voxels=self.voxels, lights=lights,
             ambient_color=jnp.asarray(self.ambient_color, jnp.float32),
             ambient_intensity=jnp.asarray(self.ambient_intensity, jnp.float32),
