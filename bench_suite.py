@@ -52,8 +52,11 @@ def _batched_interactive_fps(r, k=8, n_batches=6):
     """The ``--batch K`` app loop (RaytraceComponent._update_batched):
     K frames per dispatch with one BATCH in flight — batch N+1 computes
     on-device while batch N's four stacked planes (fg/bg u8 + top/bot
-    f16 RGB) materialize to the host and blit. Frames delivered per
-    second = K / max(batch compute, batch readback)."""
+    display-u8 RGB) materialize to the host and blit. Frames delivered
+    per second = K / max(batch compute, batch readback). The timed window
+    covers exactly n_batches steady-state loop iterations (one dispatch +
+    one readback each); counting a final extra readback's K frames was up
+    to ~1/(n_batches+1) optimistic when compute-bound (ADVICE r4)."""
     inflight = r.render_many(k, rgb=True)[0]
     for _ in range(2):  # warm the pipeline
         nxt = r.render_many(k, rgb=True)[0]
@@ -64,8 +67,7 @@ def _batched_interactive_fps(r, k=8, n_batches=6):
         nxt = r.render_many(k, rgb=True)[0]
         [np.asarray(g) for g in inflight]
         inflight = nxt
-    [np.asarray(g) for g in inflight]
-    return (n_batches + 1) * k / (time.perf_counter() - t0)
+    return n_batches * k / (time.perf_counter() - t0)
 
 
 def bench_scene(name, scene, fb_w, fb_h, batch=2000, n_batches=2, ss=1):
@@ -98,9 +100,20 @@ def bench_scene(name, scene, fb_w, fb_h, batch=2000, n_batches=2, ss=1):
     return fps
 
 
-def bench_dynamic(name, make_frame_scene, fb_w, fb_h, n=24):
-    """Interactive-only config: ``make_frame_scene(t)`` returns the scene
-    for time t (per-frame mutation defeats the scan path by design)."""
+def bench_dynamic(name, make_frame_scene, fb_w, fb_h, n=24, dyn=None,
+                  volume=None):
+    """Per-frame-mutating config. The one-frame-in-flight interactive
+    number always records; when the mutation can batch it also records:
+
+    - ``dyn`` (a DynamicScene): SUSTAINED fps + Mray/s via
+      render_many(times=, scene_fn=) — the per-frame on-device LBVH
+      rebuild folds into the scan, so the device cost is finally
+      separable from tunnel latency — plus the batched-interactive K=8
+      number (the --batch app loop).
+    - ``volume`` (a VolumeScene): batched-interactive K=8 — K host
+      physics ticks per dispatch, the batch rendered against the
+      batch-end tables (RaytraceComponent._dispatch_batch semantics).
+    """
     from yetanotherconsolegameengine_tpu.render.renderer import RaytraceRenderer
 
     r = RaytraceRenderer(make_frame_scene(0.0), fb_w=fb_w, fb_h=fb_h, ss=1,
@@ -115,12 +128,58 @@ def bench_dynamic(name, make_frame_scene, fb_w, fb_h, n=24):
     ifps = _interactive_fps(render, n=n)
     out = r.render()
     rays = int(out.rays_traced)
-    print(json.dumps({
+    rec = {
         "metric": f"{name} @{fb_w}x{fb_h} ({rays} rays/frame)",
         "interactive_fps": round(ifps, 1),
         "pallas": False,
-    }), flush=True)
+    }
+    k = 8
+    if dyn is not None:
+        def scan_batch(nf):
+            times = [dyn.t + (i + 1) / 30.0 for i in range(nf)]
+            dyn.t = times[-1]
+            return r.render_many(nf, times=times, scene_fn=dyn.at_time,
+                                 rgb=(nf == k))
+        grids, _ = scan_batch(120)
+        _sync(grids[0])
+        t0 = time.perf_counter()
+        for _ in range(2):
+            grids, _ = scan_batch(120)
+        _sync(grids[0])
+        dt = (time.perf_counter() - t0) / (2 * 120)
+        rec["fps"] = round(1.0 / dt, 1)
+        rec["mrays_per_s"] = round(rays / dt / 1e6, 2)
+        rec["batched_interactive_fps_k8"] = round(
+            _pipelined_batches(lambda: scan_batch(k)[0], k), 1)
+    if volume is not None:
+        def vol_batch():
+            sc = None
+            poses = []
+            for _ in range(k):
+                sc = volume.update(1.0 / 30.0)
+                poses.append((tuple(volume.pos), volume.yaw, volume.pitch))
+            r.scene = sc
+            return r.render_many(k, poses=poses, rgb=True)[0]
+        rec["batched_interactive_fps_k8"] = round(
+            _pipelined_batches(vol_batch, k), 1)
+    print(json.dumps(rec), flush=True)
     return ifps
+
+
+def _pipelined_batches(dispatch, k, n_batches=6):
+    """Steady-state frames/s of a K-per-dispatch loop with one batch in
+    flight (same timing window discipline as _batched_interactive_fps)."""
+    inflight = dispatch()
+    for _ in range(2):
+        nxt = dispatch()
+        [np.asarray(g) for g in inflight]
+        inflight = nxt
+    t0 = time.perf_counter()
+    for _ in range(n_batches):
+        nxt = dispatch()
+        [np.asarray(g) for g in inflight]
+        inflight = nxt
+    return n_batches * k / (time.perf_counter() - t0)
 
 
 def bench_lbvh_rebuild():
@@ -196,7 +255,7 @@ def main():
         build_spinning_mesh)
     dyn = build_spinning_mesh()
     bench_dynamic("Spinning mesh (per-frame device LBVH rebuild)",
-                  dyn.at_time, 160, 90)
+                  dyn.at_time, 160, 90, dyn=dyn)
 
     from yetanotherconsolegameengine_tpu.world.volume_scene import (
         build_minecraft_like)
@@ -241,7 +300,8 @@ def main():
     vs.manager.ensure_all_loaded(vs.pos)
     vs.update(1.0 / 30.0)
     bench_dynamic("Minecraft-like streamed island (surface clusters)",
-                  lambda t: vs.update(1.0 / 30.0), 160, 90, n=12)
+                  lambda t: vs.update(1.0 / 30.0), 160, 90, n=12,
+                  volume=vs)
     bench_island_orbit(vs, "Minecraft-like island orbit, sustained")
     # The reference's 60-fps north-star cell geometry (VolumeScenes.cs
     # flagship interactive scene at the 240x135 default grid).

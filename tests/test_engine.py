@@ -176,3 +176,69 @@ def test_program_headless_runs(tmp_path):
     assert b"\x1b[38;5;" in data  # SGR colors present
     assert "▀".encode() in data   # half-block cells present
     assert b"fps" in data         # HUD line
+
+
+def test_batched_component_matches_unbatched():
+    """--batch K must only pipeline, never change pixels: a batch=4
+    RaytraceComponent over a static scene with no input blits the exact
+    frame sequence of the batch=1 component (same 1-tick latency: both
+    show frame t-1 at tick t), fg/bg grids bit-identical and RGB planes
+    within the display-u8 quantization the stacked readback ships."""
+    from yetanotherconsolegameengine_tpu.engine.raytrace_entity import (
+        RaytraceComponent)
+    from yetanotherconsolegameengine_tpu.engine.chexel import Framebuffer
+
+    w, h, n_ticks = 24, 14, 6
+    comps = []
+    for batch in (1, 4):
+        fb = Framebuffer(w, h)
+        c = RaytraceComponent(fb, scene_names=["test"], enable_world=False,
+                              batch=batch)
+        c.show_hud = False
+        comps.append((c, fb))
+    seqs = {1: [], 4: []}
+    for t in range(n_ticks):
+        for (c, fb), b in zip(comps, (1, 4)):
+            c.update(1.0 / 30.0)
+            seqs[b].append((fb.fg_ansi.copy(), fb.bg_ansi.copy(),
+                            fb.fg_rgb.copy(), fb.bg_rgb.copy()))
+    for t in range(1, n_ticks):   # tick 0 blits nothing on both paths
+        fg1, bg1, top1, bot1 = seqs[1][t]
+        fg4, bg4, top4, bot4 = seqs[4][t]
+        np.testing.assert_array_equal(fg4, fg1, err_msg=f"tick {t}")
+        np.testing.assert_array_equal(bg4, bg1, err_msg=f"tick {t}")
+        np.testing.assert_allclose(top4, top1, atol=1 / 255.0,
+                                   err_msg=f"tick {t}")
+        np.testing.assert_allclose(bot4, bot1, atol=1 / 255.0,
+                                   err_msg=f"tick {t}")
+    for (c, _), _b in zip(comps, (1, 4)):
+        c.close()
+
+
+def test_batched_dynamic_scene_matches_unbatched():
+    """Dynamic scenes batch by folding the per-frame scene mutation (LBVH
+    rebuild included) into the frame scan (render_many(times=, scene_fn=));
+    the batched component must blit the exact unbatched frame sequence."""
+    from yetanotherconsolegameengine_tpu.engine.raytrace_entity import (
+        RaytraceComponent)
+    from yetanotherconsolegameengine_tpu.engine.chexel import Framebuffer
+
+    w, h, n_ticks = 20, 12, 5
+    seqs = {}
+    for batch in (1, 3):
+        fb = Framebuffer(w, h)
+        c = RaytraceComponent(fb, scene_names=["spinning_mesh"],
+                              enable_world=False, batch=batch)
+        c.show_hud = False
+        frames = []
+        for _ in range(n_ticks):
+            c.update(1.0 / 30.0)
+            frames.append((fb.fg_ansi.copy(), fb.fg_rgb.copy()))
+        seqs[batch] = frames
+        c.close()
+    for t in range(1, n_ticks):
+        fg1, top1 = seqs[1][t]
+        fg3, top3 = seqs[3][t]
+        np.testing.assert_array_equal(fg3, fg1, err_msg=f"tick {t}")
+        np.testing.assert_allclose(top3, top1, atol=1 / 255.0,
+                                   err_msg=f"tick {t}")

@@ -207,3 +207,35 @@ def test_frame_scan_matches_sequential_steps():
     np.testing.assert_allclose(np.asarray(state_scan.history),
                                np.asarray(state_seq.history), atol=1e-6)
     assert int(state_scan.frame_idx) == int(state_seq.frame_idx) == 4
+
+
+def test_frame_scan_stack_rgb_matches_steps():
+    """stack_rgb=True (the batched app loop's readback) stacks the
+    tone-mapped top/bot planes as display u8; they must match the
+    sequential frame_step f32 planes within quantization (1/255) and the
+    fg/bg grids must stay bit-identical to the default stacking."""
+    scene, step, state_seq = make("cornell")
+    cam = scene.default_pose
+    n = 3
+    cams = CameraPose(
+        pos=jnp.broadcast_to(cam.pos, (n, 3)),
+        yaw=jnp.full(n, cam.yaw, jnp.float32),
+        pitch=jnp.full(n, cam.pitch, jnp.float32),
+        fov_deg=jnp.full(n, float(cam.fov_deg), jnp.float32))
+    scan = jax.jit(functools.partial(R.frame_scan, fb_w=FB_W, fb_h=FB_H,
+                                     ss=1, stack_rgb=True))
+    (fgs, bgs, tops, bots), _, _ = scan(scene, cams,
+                                        R.init_state(FB_W, FB_H, 1))
+    assert tops.dtype == jnp.uint8 and tops.shape == (n, FB_H, FB_W, 3)
+    for i in range(n):
+        out_seq, state_seq = step(scene,
+                                  jax.tree_util.tree_map(lambda x: x[i],
+                                                         cams), state_seq)
+        np.testing.assert_array_equal(np.asarray(fgs[i]),
+                                      np.asarray(out_seq.fg_ansi))
+        np.testing.assert_allclose(
+            np.asarray(tops[i], np.float32) / 255.0,
+            np.clip(np.asarray(out_seq.top_rgb), 0.0, 1.0), atol=1 / 255.0)
+        np.testing.assert_allclose(
+            np.asarray(bots[i], np.float32) / 255.0,
+            np.clip(np.asarray(out_seq.bot_rgb), 0.0, 1.0), atol=1 / 255.0)

@@ -216,27 +216,16 @@ class RaytraceComponent(BaseComponent):
             if self.show_hud:
                 self.fb.write_text(0, 0, " video mode (V to exit) ")
             return
+        if self.batch > 1:
+            # Batched loop (static, volume, or dynamic scene): input
+            # replays at DISPATCH rate inside _update_batched, not per
+            # tick; volume physics and dynamic-scene time advance per
+            # replayed tick in _dispatch_batch.
+            self._update_batched(dt, inp)
+            return
         if self._volume is not None:
             vs = self._volume
-            if inp is not None:
-                fwd = (1.0 if inp.is_key_down("w") else 0.0) - \
-                      (1.0 if inp.is_key_down("s") else 0.0)
-                strafe = (1.0 if inp.is_key_down("d") else 0.0) - \
-                         (1.0 if inp.is_key_down("a") else 0.0)
-                up = (1.0 if inp.is_key_down("e") or inp.is_key_down(" ")
-                      else 0.0) - (1.0 if inp.is_key_down("q") else 0.0)
-                jump = inp.is_key_down(" ")
-                la = 1.6 * dt
-                if inp.is_key_down("left"):
-                    vs.yaw -= la
-                if inp.is_key_down("right"):
-                    vs.yaw += la
-                if inp.is_key_down("up"):
-                    vs.pitch = min(1.45, vs.pitch + la)
-                if inp.is_key_down("down"):
-                    vs.pitch = max(-1.45, vs.pitch - la)
-                vs.apply_input(fwd, strafe, up, jump,
-                               inp.is_key_down("shift"), dt)
+            self._volume_input(vs, inp, dt)
             scene = vs.update(dt)
             self.renderer.scene = scene
             self.camera.set_pose(tuple(vs.pos), vs.yaw, vs.pitch)
@@ -244,11 +233,6 @@ class RaytraceComponent(BaseComponent):
             self.renderer.scene = self._dynamic.update(dt)
             if inp is not None:
                 self.camera.update(inp, dt)
-        elif self.batch > 1:
-            # Static scene + batched loop: input replays at DISPATCH rate
-            # inside _update_batched, not per tick.
-            self._update_batched(dt, inp)
-            return
         elif inp is not None:
             self.camera.update(inp, dt)
 
@@ -279,19 +263,72 @@ class RaytraceComponent(BaseComponent):
                 blitted if blitted is not None else out, frame_ms)
             self.fb.write_text(0, 0, self.info[: self.fb.width])
 
+    @staticmethod
+    def _volume_input(vs, inp, dt: float):
+        """One tick of player input -> VolumeScene physics intent."""
+        if inp is None:
+            return
+        fwd = (1.0 if inp.is_key_down("w") else 0.0) - \
+              (1.0 if inp.is_key_down("s") else 0.0)
+        strafe = (1.0 if inp.is_key_down("d") else 0.0) - \
+                 (1.0 if inp.is_key_down("a") else 0.0)
+        up = (1.0 if inp.is_key_down("e") or inp.is_key_down(" ")
+              else 0.0) - (1.0 if inp.is_key_down("q") else 0.0)
+        jump = inp.is_key_down(" ")
+        la = 1.6 * dt
+        if inp.is_key_down("left"):
+            vs.yaw -= la
+        if inp.is_key_down("right"):
+            vs.yaw += la
+        if inp.is_key_down("up"):
+            vs.pitch = min(1.45, vs.pitch + la)
+        if inp.is_key_down("down"):
+            vs.pitch = max(-1.45, vs.pitch - la)
+        vs.apply_input(fwd, strafe, up, jump, inp.is_key_down("shift"), dt)
+
     def _dispatch_batch(self, dt: float, inp):
-        """Integrate the camera K ticks forward from the CURRENT input
-        state (input replay at dispatch rate) and dispatch one K-frame
-        scan. Returns immediately (JAX dispatch is async)."""
-        import numpy as _np
+        """Integrate K ticks forward from the CURRENT input state (input
+        replay at dispatch rate) and dispatch one K-frame scan. Returns
+        immediately (JAX dispatch is async).
+
+        Volume scenes run K host physics ticks (streaming drains + player
+        integration are host-side); the whole batch renders against the
+        batch-END scene tables, so a chunk that streams in mid-batch
+        appears at most K-1 frames early — invisible next to the batch's
+        own input latency. Dynamic scenes fold their per-frame scene
+        mutation INTO the scan via scene_fn (LBVH rebuild and all), so
+        they batch exactly like static scenes."""
         r = self.renderer
         poses = []
-        for _ in range(self.batch):
-            if inp is not None:
-                self.camera.update(inp, dt)
-            poses.append((list(self.camera.pos), self.camera.yaw,
-                          self.camera.pitch))
-        grids, out = r.render_many(self.batch, poses=poses, rgb=True)
+        times = None
+        scene_fn = None
+        if self._volume is not None:
+            vs = self._volume
+            scene = None
+            for _ in range(self.batch):
+                self._volume_input(vs, inp, dt)
+                scene = vs.update(dt)
+                poses.append((tuple(vs.pos), vs.yaw, vs.pitch))
+            r.scene = scene
+            self.camera.set_pose(tuple(vs.pos), vs.yaw, vs.pitch)
+        elif self._dynamic is not None:
+            dyn = self._dynamic
+            times = [dyn.t + dt * (k + 1) for k in range(self.batch)]
+            dyn.t = times[-1]
+            scene_fn = dyn.at_time
+            for _ in range(self.batch):
+                if inp is not None:
+                    self.camera.update(inp, dt)
+                poses.append((list(self.camera.pos), self.camera.yaw,
+                              self.camera.pitch))
+        else:
+            for _ in range(self.batch):
+                if inp is not None:
+                    self.camera.update(inp, dt)
+                poses.append((list(self.camera.pos), self.camera.yaw,
+                              self.camera.pitch))
+        grids, out = r.render_many(self.batch, poses=poses, rgb=True,
+                                   times=times, scene_fn=scene_fn)
         self._batch_inflight = (grids, out)
 
     def _update_batched(self, dt: float, inp):
@@ -329,8 +366,9 @@ class RaytraceComponent(BaseComponent):
             self._dispatch_batch(dt, inp)
         fg, bg, top, bot = (g[self._batch_pos] for g in self._batch_cur)
         self._batch_pos += 1
-        self.fb.blit_half_blocks(top.astype(_np.float32),
-                                 bot.astype(_np.float32), fg, bg)
+        # RGB planes ship as display u8 (render_many(rgb=True)): decode.
+        self.fb.blit_half_blocks(top.astype(_np.float32) / 255.0,
+                                 bot.astype(_np.float32) / 255.0, fg, bg)
         frame_ms = (time.perf_counter() - t0) * 1000.0
         self._frame_times.append(frame_ms)
         if len(self._frame_times) > 30:

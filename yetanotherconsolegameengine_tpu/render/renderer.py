@@ -273,10 +273,17 @@ def frame_step(scene: SceneData, cam: CameraPose, state: FrameState,
     return out, new_state
 
 
+def _rgb_u8(x: jax.Array) -> jax.Array:
+    """Quantize a display-referred [0,1] RGB plane to u8 for the stacked
+    batched readback (round-to-nearest; decode is /255)."""
+    return (jnp.clip(x, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+
+
 def frame_scan(scene: SceneData, cams: CameraPose, state: FrameState,
                fb_w: int, fb_h: int, ss: int = 1,
                cfg: RenderConfig = DEFAULT_CONFIG, host_scene=None,
-               fused_post=None, stack_rgb: bool = False):
+               fused_post=None, stack_rgb: bool = False,
+               scene_fn=None, ts=None):
     """Render a SEQUENCE of frames in one device program.
 
     ``cams`` is a CameraPose pytree with a leading (N,) axis. TAA history,
@@ -291,17 +298,34 @@ def frame_scan(scene: SceneData, cams: CameraPose, state: FrameState,
     needs, and stacking full f32 RGB planes costs ~10x the render itself.
     ``stack_rgb=True`` (the batched app loop, which blits RGB into the
     framebuffer for the window backend / PNG export) also stacks the
-    tone-mapped top/bot cell planes as ~1 B/channel-accurate f16."""
+    tone-mapped top/bot cell planes, quantized to display u8 (<1/510
+    error on already-display-referred values; consumers decode /255).
+    The batched loop's readback is tunnel-bandwidth-bound at 240x135, so
+    the u8 planes (8 B/cell total vs f16's 14) buy ~1.75x there.
+
+    ``scene_fn`` + ``ts`` fold PER-FRAME SCENE MUTATION into the scan:
+    ``scene_fn(t)`` (a pure traceable callable, e.g.
+    DynamicScene.at_time) rebuilds the frame's scene — including on-device
+    LBVH rebuilds — INSIDE the device program, so a spinning mesh batches
+    exactly like a static scene (zero extra dispatches per frame; the
+    reference rebuilds its BVH on the host between frames,
+    Scene.cs:122-127). ``ts`` is the (N,) f32 time per frame. The
+    megakernel snapshot (host_scene) bakes geometry and must be None."""
+    assert scene_fn is None or host_scene is None
 
     def step(st, xs):
-        cam, pc = xs
-        out, st2 = frame_step(scene, cam, st, fb_w, fb_h, ss, cfg,
+        if scene_fn is None:
+            cam, pc = xs
+            sc = scene
+        else:
+            cam, pc, t = xs
+            sc = scene_fn(t)
+        out, st2 = frame_step(sc, cam, st, fb_w, fb_h, ss, cfg,
                               host_scene=host_scene, fused_post=fused_post,
                               precomp=pc)
         ys = (out.fg_ansi.astype(jnp.uint8), out.bg_ansi.astype(jnp.uint8))
         if stack_rgb:
-            ys = ys + (out.top_rgb.astype(jnp.float16),
-                       out.bot_rgb.astype(jnp.float16))
+            ys = ys + (_rgb_u8(out.top_rgb), _rgb_u8(out.bot_rgb))
         return st2, ys
 
     n = cams.pos.shape[0]
@@ -329,25 +353,29 @@ def frame_scan(scene: SceneData, cams: CameraPose, state: FrameState,
         have)
     pcs = (params_all, resets)
 
-    head = jax.tree_util.tree_map(lambda x: x[:-1], (cams, pcs))
+    xs = (cams, pcs) if scene_fn is None else (
+        cams, pcs, jnp.asarray(ts, jnp.float32))
+    head = jax.tree_util.tree_map(lambda x: x[:-1], xs)
     last_cam = jax.tree_util.tree_map(lambda x: x[-1], cams)
     last_pc = jax.tree_util.tree_map(lambda x: x[-1], pcs)
+    last_scene = scene if scene_fn is None else scene_fn(
+        jnp.asarray(ts, jnp.float32)[-1])
     if n > 1:
         state, grids = jax.lax.scan(step, state, head)
     else:
         z8 = jnp.zeros((0, fb_h, fb_w), jnp.uint8)
         grids = (z8, z8)
         if stack_rgb:
-            z16 = jnp.zeros((0, fb_h, fb_w, 3), jnp.float16)
-            grids = grids + (z16, z16)
-    out, state = frame_step(scene, last_cam, state, fb_w, fb_h, ss, cfg,
-                            host_scene=host_scene, fused_post=fused_post,
-                            precomp=last_pc)
+            zrgb = jnp.zeros((0, fb_h, fb_w, 3), jnp.uint8)
+            grids = grids + (zrgb, zrgb)
+    out, state = frame_step(last_scene, last_cam, state, fb_w, fb_h, ss,
+                            cfg, host_scene=host_scene,
+                            fused_post=fused_post, precomp=last_pc)
     lasts = (out.fg_ansi.astype(jnp.uint8)[None],
              out.bg_ansi.astype(jnp.uint8)[None])
     if stack_rgb:
-        lasts = lasts + (out.top_rgb.astype(jnp.float16)[None],
-                         out.bot_rgb.astype(jnp.float16)[None])
+        lasts = lasts + (_rgb_u8(out.top_rgb)[None],
+                         _rgb_u8(out.bot_rgb)[None])
     grids = tuple(jnp.concatenate([g, l]) for g, l in zip(grids, lasts))
     return grids, out, state
 
@@ -462,13 +490,22 @@ class RaytraceRenderer:
                                      host_scene=self._hs)
         return out
 
-    def render_many(self, n: int, poses=None, rgb: bool = False):
+    def render_many(self, n: int, poses=None, rgb: bool = False,
+                    times=None, scene_fn=None):
         """Render ``n`` frames in ONE dispatch (lax.scan over frame_step);
         advances the renderer state. ``poses``: optional list of
         (pos, yaw, pitch) per frame. Returns
         ((fg_ansi_u8, bg_ansi_u8) stacked (n, fb_h, fb_w), last frame's
         FrameOutput); with ``rgb=True`` the grids tuple also stacks
-        (top_rgb, bot_rgb) f16 planes (the batched app loop blits those).
+        (top_rgb, bot_rgb) display-u8 planes (the batched app loop
+        decodes /255 and blits those).
+        ``times`` + ``scene_fn`` batch PER-FRAME-MUTATING scenes:
+        ``scene_fn(t)`` (traceable, e.g. DynamicScene.at_time) rebuilds
+        the frame's scene inside the scan — LBVH rebuild and all — so
+        dynamic scenes amortize the tunnel round-trip exactly like static
+        ones. ``scene_fn`` is a jit-static argument: pass a STABLE
+        callable (the same bound method every batch), or every call
+        recompiles.
         Video textures refresh once per BATCH (the scan is
         one device program; per-frame texture updates need render())."""
         import numpy as np
@@ -491,10 +528,13 @@ class RaytraceRenderer:
                 functools.partial(frame_scan, fb_w=self.fb_w,
                                   fb_h=self.fb_h, ss=self.ss, cfg=self.cfg,
                                   fused_post=self._fused_post),
-                static_argnames=("host_scene", "stack_rgb"))
+                static_argnames=("host_scene", "stack_rgb", "scene_fn"))
+        ts = None if times is None else jnp.asarray(
+            np.asarray(times, np.float32))
         grids, out, self.state = self._scan(self.scene, stacked, self.state,
                                             host_scene=self._hs,
-                                            stack_rgb=rgb)
+                                            stack_rgb=rgb,
+                                            scene_fn=scene_fn, ts=ts)
         return grids, out
 
     def resize(self, fb_w: int, fb_h: int, ss: Optional[int] = None):

@@ -25,6 +25,18 @@ import jax.numpy as jnp
 from .tables import SceneData
 
 
+def _sin(x):
+    """sin that stays HOST math for the eager per-tick path (a Python
+    float in keeps device dispatches at zero) but traces when ``t`` rides
+    a lax.scan (the batched app loop folds entity updates into the frame
+    scan, render/renderer.py frame_scan(scene_fn=...))."""
+    return jnp.sin(x) if isinstance(x, jax.Array) else math.sin(x)
+
+
+def _cos(x):
+    return jnp.cos(x) if isinstance(x, jax.Array) else math.cos(x)
+
+
 class SceneEntity:
     """Protocol: patch the scene for time ``t`` (seconds)."""
 
@@ -42,7 +54,7 @@ class BobbingSphereEntity(SceneEntity):
     freq_hz: float = 0.4
 
     def apply(self, scene, t):
-        y = self.base_center[1] + self.amplitude * math.sin(
+        y = self.base_center[1] + self.amplitude * _sin(
             2.0 * math.pi * self.freq_hz * t)
         center = scene.spheres.center.at[self.index].set(
             (self.base_center[0], y, self.base_center[2]))
@@ -62,9 +74,9 @@ class OrbitingLightEntity(SceneEntity):
 
     def apply(self, scene, t):
         ang = 2.0 * math.pi * t / self.period_s
-        pos = (self.pivot[0] + self.radius * math.cos(ang),
+        pos = (self.pivot[0] + self.radius * _cos(ang),
                self.pivot[1] + self.height,
-               self.pivot[2] + self.radius * math.sin(ang))
+               self.pivot[2] + self.radius * _sin(ang))
         lights = dataclasses.replace(
             scene.lights, pos=scene.lights.pos.at[self.index].set(pos))
         return dataclasses.replace(scene, lights=lights)
@@ -80,7 +92,7 @@ class PulsingLightEntity(SceneEntity):
     freq_hz: float = 0.8
 
     def apply(self, scene, t):
-        k = 1.0 + self.depth * math.sin(2.0 * math.pi * self.freq_hz * t)
+        k = 1.0 + self.depth * _sin(2.0 * math.pi * self.freq_hz * t)
         lights = dataclasses.replace(
             scene.lights,
             intensity=scene.lights.intensity.at[self.index].set(
@@ -98,7 +110,7 @@ class UVWobbleEntity(SceneEntity):
     freq_hz: float = 0.5
 
     def apply(self, scene, t):
-        k = self.base_scale * (1.0 + self.depth * math.sin(
+        k = self.base_scale * (1.0 + self.depth * _sin(
             2.0 * math.pi * self.freq_hz * t))
         mats = dataclasses.replace(
             scene.materials,
