@@ -135,3 +135,33 @@ def test_binary_shadow_scene_flag():
     # ambient remains at the direct-lighting level; any light seen is from
     # the diffuse bounce, which is tiny here.
     assert under.max() < 0.05
+
+
+def test_stack_clamp_bit_identical():
+    """The provable stack-depth bound (max_mirror_bounces + 1): clamping
+    the path stack from cfg.path_stack_size (16) to the bound (3) is
+    bit-identical on a transparency-heavy scene — nested glass shells
+    exercise the deepest reachable push chain (trace.py derivation)."""
+    s = SceneBuilder("nested_glass")
+    s.bg_top, s.bg_bottom = (0.3, 0.4, 0.9), (0.9, 0.8, 0.7)
+    s.add_plane((0, 0, 0), (0, 1, 0), Material.solid((0.7, 0.6, 0.5)))
+    # Concentric shells: every refraction event immediately hits another
+    # transparent surface, maximizing push pressure.
+    for rad in (1.4, 1.0, 0.6):
+        s.add_sphere((0, 1.5, -3), rad,
+                     Material.glass(transmission=(0.9, 0.95, 1.0)))
+    s.add_sphere((0, 1.5, -3), 0.3,
+                 Material.solid((1, 1, 1), reflectivity=1.0))
+    s.add_light((2, 5, -1), (1, 1, 1), 80.0)
+    sc = s.build()
+    ys, xs = np.mgrid[-0.5:0.5:12j, -0.5:0.5:12j]
+    o = np.stack([xs, ys + 1.5, np.zeros_like(xs)], -1).reshape(-1, 3)
+    d = np.broadcast_to(np.asarray([0.0, 0.0, -1.0]), o.shape)
+    assert trace.STACK_CLAMP
+    clamped = np.asarray(trace_rays(sc, o, d).radiance)
+    trace.STACK_CLAMP = False
+    try:
+        full = np.asarray(trace_rays(sc, o, d).radiance)
+    finally:
+        trace.STACK_CLAMP = True
+    np.testing.assert_array_equal(clamped, full)

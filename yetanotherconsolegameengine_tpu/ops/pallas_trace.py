@@ -656,6 +656,12 @@ def build_kernel(hs: _HostScene, cfg: RenderConfig, hi_w: int, hi_h: int,
             poz = woz - nz * cos_o
             pox, poy, poz = _normalize3(pox, poy, poz)
             for (lp, lc, li) in hs.lights:
+                if not (li > 0.0):
+                    # Statically elide zero-intensity lights — matches
+                    # trace.py's dynamic (intensity > 0) need-gate (lights
+                    # are compile-time constants here), keeping the two
+                    # paths' shadow-ray counts aligned.
+                    continue
                 tlx = lp[0] - px
                 tly = lp[1] - py
                 tlz = lp[2] - pz
@@ -737,7 +743,13 @@ def build_kernel(hs: _HostScene, cfg: RenderConfig, hi_w: int, hi_h: int,
         # Scenes with no transparent material never push/pop the path
         # stack; compiling it out removes ~5 MB of VMEM selects per round.
         HAS_TR = scene_has_transparency(hs)
-        S = min(cfg.path_stack_size, KERNEL_STACK)
+        # Clamp to the provable worst-case depth (max_mirror_bounces + 1,
+        # see the KERNEL_STACK derivation): kernel_stack_sufficient
+        # guarantees the bound fits, so this is bit-identical and shrinks
+        # the VMEM-resident stack + per-round push/pop selects (8 -> 3
+        # slots at default caps). trace.py applies the same clamp.
+        S = min(cfg.path_stack_size, KERNEL_STACK,
+                cfg.max_mirror_bounces + 1)
         st = dict(
             ox=ox0, oy=oy0, oz=oz0, dx=dx0, dy=dy0, dz=dz0,
             br=jnp.ones(shape, jnp.float32), bg=jnp.ones(shape, jnp.float32),

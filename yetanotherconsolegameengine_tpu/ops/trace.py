@@ -43,6 +43,11 @@ _EPS = 1e-4  # RaytraceRenderer.Eps
 # trace_all); tests flip it to verify compacted == uncompacted output.
 WAVEFRONT_COMPACTION = True
 
+# Ablation knob for the provable stack-depth clamp (see trace_all): tests
+# flip it to verify the clamped stack is bit-identical to the full
+# cfg.path_stack_size stack on transparency-heavy scenes.
+STACK_CLAMP = True
+
 
 def _dot(a, b):
     return jnp.sum(a * b, axis=-1)
@@ -160,7 +165,19 @@ class TraceResult:
 def trace_all(scene, o0, d0, rng0, cfg: RenderConfig) -> TraceResult:
     """Trace every pixel's full path tree. o0/d0: (P, 3); rng0: u64 pair (P,)."""
     P = o0.shape[0]
-    S = cfg.path_stack_size
+    # Provable stack-depth bound (same derivation as pallas_trace.py
+    # KERNEL_STACK): a refraction event pushes reflect+refract and the
+    # pushing lane terminates and pops one back the same round (transparent
+    # hits never continue in place), so the stack nets +1 per nesting
+    # level with a within-round peak of +2; pushes require
+    # mirror < max_mirror_bounces and pushed items carry mirror+1, so
+    # nesting is capped at max_mirror_bounces levels => sp never exceeds
+    # max_mirror_bounces + 1 (= 3 at default caps). Clamping the (S, P)
+    # stack arrays to that bound is bit-identical (no push can ever be
+    # dropped) and cuts the stack's where/pop traffic 5.3x at the 16-slot
+    # default — measured ~14 ms/frame at 64.8k rays on the island.
+    S = (min(cfg.path_stack_size, cfg.max_mirror_bounces + 1)
+         if STACK_CLAMP else cfg.path_stack_size)
     sigma_rad = cfg.diffuse_sigma_deg * math.pi / 180.0
     use_lod = (cfg.secondary_mesh_lod
                and getattr(scene, "mesh_clusters_lod", None) is not None)
@@ -251,21 +268,28 @@ def trace_all(scene, o0, d0, rng0, cfg: RenderConfig) -> TraceResult:
         tbg = 0.5 * (d[:, 1] + 1.0)
         sky = scene.bg_bottom * (1.0 - tbg[:, None]) + scene.bg_top * tbg[:, None]
         st["radiance"] = st["radiance"] + jnp.where(miss[:, None], beta * sky, 0.0)
-        primary_miss = miss & st["is_primary"] & ~st["primary_hit"]
-        st["is_sky"] = st["is_sky"] | primary_miss
-        st["g_valid"] = st["g_valid"] | primary_miss
-
-        # ---- hit bookkeeping ------------------------------------------------
+        # Primary/G-buffer bookkeeping is statically elided in compacted
+        # sub-batches (gather_batch drops the keys): every lane entering a
+        # post-round-0 body has is_primary == False (round 0 clears it on
+        # hit and misses terminate), so these updates are provable no-ops
+        # there — and each dropped array is one less flat-cost compaction
+        # gather + one less per-round where-write.
         hit_now = active & hit.hit
-        primary_now = hit_now & st["is_primary"]
-        st["primary_hit"] = st["primary_hit"] | primary_now
-        fill_g = primary_now & ~st["g_valid"]
-        fg = fill_g[:, None]
-        st["g_albedo"] = jnp.where(fg, base_albedo, st["g_albedo"])
-        st["g_normal"] = jnp.where(fg, hit.n, st["g_normal"])
-        st["g_depth"] = jnp.where(fill_g, hit.t, st["g_depth"])
-        st["g_valid"] = st["g_valid"] | fill_g
-        st["is_primary"] = st["is_primary"] & ~hit_now
+        if "g_valid" in st:
+            primary_miss = miss & st["is_primary"] & ~st["primary_hit"]
+            st["is_sky"] = st["is_sky"] | primary_miss
+            st["g_valid"] = st["g_valid"] | primary_miss
+
+            # ---- hit bookkeeping --------------------------------------------
+            primary_now = hit_now & st["is_primary"]
+            st["primary_hit"] = st["primary_hit"] | primary_now
+            fill_g = primary_now & ~st["g_valid"]
+            fg = fill_g[:, None]
+            st["g_albedo"] = jnp.where(fg, base_albedo, st["g_albedo"])
+            st["g_normal"] = jnp.where(fg, hit.n, st["g_normal"])
+            st["g_depth"] = jnp.where(fill_g, hit.t, st["g_depth"])
+            st["g_valid"] = st["g_valid"] | fill_g
+            st["is_primary"] = st["is_primary"] & ~hit_now
 
         st["radiance"] = st["radiance"] + jnp.where(
             hit_now[:, None], beta * m.emission, 0.0)
@@ -315,7 +339,15 @@ def trace_all(scene, o0, d0, rng0, cfg: RenderConfig) -> TraceResult:
             dist = jnp.sqrt(dist2)
             ldir = to_l / dist[..., None]
             ndotl = jnp.maximum(0.0, jnp.einsum("pk,plk->pl", hit.n, ldir))
-            need = diffuse[:, None] & lt.mask[None] & (ndotl > 0.0)
+            # Zero-intensity lights contribute exactly 0 (atten factor), so
+            # their shadow lanes are pure waste — gate them out of ``need``
+            # and the far-origin degenerate path culls them. Load-bearing
+            # for DayNight worlds: sun and moon intensities are mutually
+            # exclusive (world/volume_scene.py), so this halves the live
+            # island shadow lanes every frame. Bit-identical (contrib is
+            # where(need)-masked).
+            need = (diffuse[:, None] & lt.mask[None] & (ndotl > 0.0)
+                    & (lt.intensity[None] > 0.0))
 
             # L-major lane order (cluster scenes): [light0: all rays]
             # [light1: ...] instead of ray-major interleaving, traced
@@ -432,13 +464,56 @@ def trace_all(scene, o0, d0, rng0, cfg: RenderConfig) -> TraceResult:
                and P >= 4096)
     if compact:
         Pc = P // 2
-        keep_scalar = ("round", "rays")
 
-        def gather_batch(src, idx):
-            sub = {k: (v if k in keep_scalar else
-                       (v[:, idx] if k.startswith("st_") else v[idx]))
-                   for k, v in src.items()}
-            sub["radiance"] = jnp.zeros((idx.shape[0], 3), jnp.float32)
+        # The compacted sub-batches carry ONLY what post-round-0 rounds
+        # read: ray/throughput/counters/RNG/stack. The G-buffer + primary
+        # bookkeeping arrays (is_primary, primary_hit, is_sky, g_*) are
+        # provably dead there (see body()) and stay at full width. The
+        # carried fields pack into ONE (P, C) f32 matrix so each
+        # compaction level pays a single flat-cost gather instead of ~18
+        # per-array gathers (a P-wide gather costs a flat ~0.1-0.5 ms on
+        # this chip regardless of row width — the round-5 island profile
+        # attributed ~12 ms/frame to exactly this machinery).
+        _bc = lambda a, t: jax.lax.bitcast_convert_type(a, t)
+
+        def pack_state(src):
+            f32 = jnp.float32
+            cols = [src["o"], src["d"], src["beta"],
+                    _bc(src["mirror"], f32)[:, None],
+                    _bc(src["diffuse"], f32)[:, None],
+                    src["active"].astype(f32)[:, None],
+                    _bc(src["rng_hi"], f32)[:, None],
+                    _bc(src["rng_lo"], f32)[:, None]]
+            if use_stack:
+                cols.append(_bc(src["sp"], f32)[:, None])
+                for k in ("st_o", "st_d", "st_beta"):
+                    w = src[k].shape[1]
+                    cols.append(jnp.moveaxis(src[k], 0, 1).reshape(w, -1))
+                for k in ("st_mirror", "st_diffuse"):
+                    cols.append(_bc(jnp.moveaxis(src[k], 0, 1), f32))
+            return jnp.concatenate(cols, axis=1)
+
+        def unpack_state(rows, rnd, rays):
+            f32, i32, u32 = jnp.float32, jnp.int32, jnp.uint32
+            n = rows.shape[0]
+            sub = dict(
+                o=rows[:, 0:3], d=rows[:, 3:6], beta=rows[:, 6:9],
+                mirror=_bc(rows[:, 9], i32), diffuse=_bc(rows[:, 10], i32),
+                active=rows[:, 11] > 0.5,
+                rng_hi=_bc(rows[:, 12], u32), rng_lo=_bc(rows[:, 13], u32),
+                radiance=jnp.zeros((n, 3), f32),
+                round=rnd, rays=rays)
+            if use_stack:
+                sub["sp"] = _bc(rows[:, 14], i32)
+                off = 15
+                for k in ("st_o", "st_d", "st_beta"):
+                    sub[k] = jnp.moveaxis(
+                        rows[:, off:off + 3 * S].reshape(n, S, 3), 1, 0)
+                    off += 3 * S
+                for k in ("st_mirror", "st_diffuse"):
+                    sub[k] = jnp.moveaxis(
+                        _bc(rows[:, off:off + S], i32), 1, 0)
+                    off += S
             return sub
 
         def active_order(src):
@@ -447,8 +522,11 @@ def trace_all(scene, o0, d0, rng0, cfg: RenderConfig) -> TraceResult:
 
         body_lod = lambda s: body(s, lod_sweep=True)
         order = active_order(st)
-        for bi, idx in enumerate((order[:Pc], order[Pc:])):
-            sub = gather_batch(st, idx)
+        rows_sorted = pack_state(st)[order]   # the ONE level-1 gather
+        rad_parts = []
+        for bi, (lo, hi) in enumerate(((0, Pc), (Pc, P))):
+            sub = unpack_state(rows_sorted[lo:hi],
+                               st["round"], st["rays"])
             if bi == 0 and Pc // 4 >= 512:
                 # SECOND compaction level: round 1 (the first LOD round —
                 # bounce/mirror/refraction shading of the primary hits) runs
@@ -466,16 +544,22 @@ def trace_all(scene, o0, d0, rng0, cfg: RenderConfig) -> TraceResult:
                     lambda s: cond(s) & (s["round"] < 2), body_lod, sub)
                 Pc2 = Pc // 4
                 order2 = active_order(sub)
-                for idx2 in (order2[:Pc2], order2[Pc2:]):
-                    sub2 = gather_batch(sub, idx2)
+                rows2 = pack_state(sub)[order2]   # the ONE level-2 gather
+                rad2_parts = []
+                for lo2, hi2 in ((0, Pc2), (Pc2, Pc)):
+                    sub2 = unpack_state(rows2[lo2:hi2],
+                                        sub["round"], sub["rays"])
                     sub2 = jax.lax.while_loop(cond, body_lod, sub2)
-                    sub["radiance"] = (sub["radiance"]
-                                       .at[idx2].add(sub2["radiance"]))
+                    rad2_parts.append(sub2["radiance"])
                     sub["rays"] = sub2["rays"]
+                sub["radiance"] = sub["radiance"].at[order2].add(
+                    jnp.concatenate(rad2_parts), unique_indices=True)
             else:
                 sub = jax.lax.while_loop(cond, body_lod, sub)
-            st["radiance"] = st["radiance"].at[idx].add(sub["radiance"])
+            rad_parts.append(sub["radiance"])
             st["rays"] = sub["rays"]
+        st["radiance"] = st["radiance"].at[order].add(
+            jnp.concatenate(rad_parts), unique_indices=True)
     else:
         st = jax.lax.while_loop(cond, lambda s: body(s, lod_sweep=True), st)
     return TraceResult(radiance=st["radiance"], is_sky=st["is_sky"],
