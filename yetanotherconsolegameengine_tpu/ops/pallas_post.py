@@ -8,23 +8,37 @@ one v5e chip). This kernel runs ALL of it as ONE Pallas program with every
 plane resident in VMEM.
 
 Structure notes (hard-won against Mosaic):
-- Statically unrolling the 3x25 à-trous taps blows the 16 MB VMEM stack
-  (every tap's temporaries stay live); the taps are `fori_loop`s with
-  TRACED shift offsets so one set of buffers is reused.
-- `tpu.dynamic_rotate` needs (8,128)-aligned shapes, so planes are padded
-  to aligned sizes with EDGE REPLICATION — identical to clamp-to-edge for
+- On these tiny planes the kernel is INSTRUCTION-ISSUE-BOUND (a full
+  plane is only ~26 vregs at 160x180), so op count is the cost model.
+  All tap loops are statically UNROLLED: a static roll is one op, a
+  traced-offset dynamic rotate is a log-decomposed multi-op sequence.
+  (An early fori_loop formulation existed because full unrolling blew
+  the 16 MB DEFAULT VMEM stack; under the raised 100 MB limit the
+  unrolled form fits at every size the gate admits and measured 0.120
+  -> ~0.07 ms on the 160x180 headline, with the whole composed frame
+  0.169 -> 0.072 ms.)
+- `pltpu.roll` needs (8,128)-aligned shapes, so planes are padded to
+  aligned sizes with EDGE REPLICATION — identical to clamp-to-edge for
   every offset the stencils read — and the pad region is re-replicated
   between à-trous iterations (the image changes each iteration).
-- Shifts are separable (rows once per tap-row, cols per tap) with the
-  edge-fixup masks computed once per offset and shared across planes.
+- Shifts are separable (rows once per tap-row, cols per tap) and need
+  only ONE-SIDED edge fixups: positive offsets none at all (real-pixel
+  reads resolve inside the replicated pad; wrapped garbage lands in
+  output pad rows/cols that are refreshed or cropped), negative offsets
+  one top/left clamp select.
+- Luma commutes with the clamped shifts (pointwise linear), so each tap
+  shifts ONE prescaled luma plane instead of recomputing luma from the
+  three shifted color planes; the 1/phi edge-stopping scales are folded
+  into the feature planes once per kernel instead of per tap.
 - The tone map + ANSI tail runs at full resolution IN-KERNEL when ss == 1
   (pointwise, so full-res == cell-res values); the caller deinterleaves
   even/odd rows into the top/bottom half-block grids with two slices.
 
-Semantics match the XLA stages exactly (same formulas, same tap order);
-the only deliberate difference — applied to ops/atrous.py as well so the
-two paths stay numerically aligned — is folding the four edge-stopping
-exponentials into one exp of a sum.
+Semantics match the XLA stages to rounding (same formulas, same tap
+order; the prescale folding above reassociates a few multiplies). The
+one deliberate shared difference — applied to ops/atrous.py as well so
+the two paths stay numerically aligned — is folding the four
+edge-stopping exponentials into one exp of a sum.
 
 Reference: RaytraceRenderer.cs:274-398 (TemporalBlendWithClamp), :622-722
 (ApplyAtrousDenoise), ToneMapper.cs:49-91/:223-260, and the ANSI-256
@@ -43,9 +57,10 @@ two grid-incompatible Mosaic programs (the trace kernel is a per-ray-tile
 grid; this kernel is whole-image-in-VMEM because the a-trous taps need
 cross-tile halos, so a fused program would collapse the trace grid to one
 megatile and re-serialize its ray tiles). Not worth it; the measured
-lever this exposed instead is that THIS kernel is 4x the trace cost on
-the headline config — future effort goes to its tap structure, not to
-fusion.
+lever this exposed instead was that THIS kernel was 4x the trace cost on
+the headline config — the tap-structure rework above (static unrolled
+one-sided shifts, shifted-luma, prescaled features) claimed that cost:
+headline 557.8 -> 702.3 Mray/s on the recorded bench.
 """
 
 from __future__ import annotations
@@ -128,29 +143,34 @@ def build_post_kernel(cfg: RenderConfig, hi_w: int, hi_h: int,
         rows_i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
         cols_i = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
 
-        # Separable edge-clamped shifts with per-offset shared masks.
-        def srow(a, oy, top, bot):
-            out = pltpu.roll(a, jnp.mod(-oy, hp), 0)
-            out = jnp.where(bot, a[hp - 1:hp, :], out)
-            return jnp.where(top, a[0:1, :], out)
+        # Static one-sided edge-clamped shifts. Every tap loop below is
+        # UNROLLED so offsets are compile-time constants (a static roll is
+        # one op; a traced-offset dynamic rotate is a log-decomposed
+        # multi-op sequence — on these tiny planes the kernel is
+        # instruction-issue-bound, so op count IS the cost).
+        # POSITIVE offsets need no fixup at all: the bottom/right
+        # alignment pad is edge-replicated and >= the largest stencil
+        # offset, so reads of real pixels land in correct (replicated)
+        # input rows/cols, and the wrapped-in garbage occupies only
+        # OUTPUT pad rows/cols — which nothing reads before the next
+        # replicate_edges / the final crop. Negative offsets clamp to
+        # the top/left edge explicitly (the wrap would bring bottom-pad
+        # values into real top rows).
+        def roll_r(a, oy):
+            if oy == 0:
+                return a
+            out = pltpu.roll(a, (-oy) % hp, 0)
+            if oy < 0:
+                return jnp.where(rows_i < -oy, a[0:1, :], out)
+            return out
 
-        def scol(a, ox, left, right):
-            out = pltpu.roll(a, jnp.mod(-ox, wp), 1)
-            out = jnp.where(right, a[:, wp - 1:wp], out)
-            return jnp.where(left, a[:, 0:1], out)
-
-        def scol_static(a, ox):
-            # Static lane-axis shift: cheaper than a dynamic rotate, and
-            # the column taps' offsets are compile-time constants.
+        def roll_c(a, ox):
             if ox == 0:
                 return a
             out = pltpu.roll(a, (-ox) % wp, 1)
-            if ox > 0:
-                return jnp.where(cols_i >= wp - ox, a[:, wp - 1:wp], out)
-            return jnp.where(cols_i < -ox, a[:, 0:1], out)
-
-        def row_masks(oy):
-            return rows_i < -oy, rows_i >= hp - oy
+            if ox < 0:
+                return jnp.where(cols_i < -ox, a[:, 0:1], out)
+            return out
 
         cr = pin[0]
         cg = pin[1]
@@ -177,26 +197,18 @@ def build_post_kernel(cfg: RenderConfig, hi_w: int, hi_h: int,
 
         lum = _luma(cr, cg, cb)
         r = max(0, cfg.taa_clamp_radius)
-        side = 2 * r + 1
 
-        def clamp_row(iy, mm):
-            oy = iy - r
-            top, bot = row_masks(oy)
-            lr_ = srow(lum, oy, top, bot)
-            sr_ = srow(sky, oy, top, bot)
-            min_l, max_l = mm
+        min_l = jnp.full(shape, jnp.inf, jnp.float32)
+        max_l = jnp.full(shape, -jnp.inf, jnp.float32)
+        for oy in range(-r, r + 1):
+            lr_ = roll_r(lum, oy)
+            sr_ = roll_r(sky, oy)
             for ox in range(-r, r + 1):
-                ls = scol_static(lr_, ox)
-                ss = scol_static(sr_, ox)
+                ls = roll_c(lr_, ox)
+                ss = roll_c(sr_, ox)
                 ok = ss == sky
                 min_l = jnp.minimum(min_l, jnp.where(ok, ls, jnp.inf))
                 max_l = jnp.maximum(max_l, jnp.where(ok, ls, -jnp.inf))
-            return min_l, max_l
-
-        min_l, max_l = jax.lax.fori_loop(
-            0, side, clamp_row,
-            (jnp.full(shape, jnp.inf, jnp.float32),
-             jnp.full(shape, -jnp.inf, jnp.float32)))
         rng = max_l - min_l
         l_min = min_l - rng * cfg.taa_luminance_pad
         l_max = max_l + rng * cfg.taa_luminance_pad
@@ -227,19 +239,28 @@ def build_post_kernel(cfg: RenderConfig, hi_w: int, hi_h: int,
         z0 = dep
         sky_solid = sky > 0.5
 
-        def k5(i):
-            # 5-way select (no scalar dynamic gather in Mosaic).
-            v = jnp.float32(_K5[0])
-            for j in range(1, 5):
-                v = jnp.where(i == j, jnp.float32(_K5[j]), v)
-            return v
-
         def replicate_edges(x):
             """Refresh the alignment-pad region with the current real edge
             values, so the next (wider) iteration's reads into the pad
             keep clamp-to-edge semantics after the image changed."""
             x = jnp.where(rows_i >= hi_h, x[hi_h - 1:hi_h, :], x)
             return jnp.where(cols_i >= hi_w, x[:, hi_w - 1:hi_w], x)
+
+        # Pre-fold the 1/phi edge-stopping scales into the feature planes
+        # ONCE (they are iteration-invariant) instead of multiplying each
+        # of the 75 taps' four difference terms: the exp argument becomes
+        # a plain sum of prescaled |x - x'| terms plus the prescaled
+        # normal term max(0, inv_n - <n*s, n'*s>) with s = sqrt(inv_n).
+        # Differs from the XLA stage only by rounding (within the
+        # equivalence tolerance).
+        sn = math.sqrt(inv_n)
+        ns_x = nxu * sn
+        ns_y = nyu * sn
+        ns_z = nzu * sn
+        zs = z0 * inv_z
+        ar_s = a0r * inv_a
+        ag_s = a0g * inv_a
+        ab_s = a0b * inv_a
 
         cur_r, cur_g, cur_b = br, bg, bb
         for it in range(max(1, cfg.atrous_iterations)):
@@ -249,57 +270,57 @@ def build_post_kernel(cfg: RenderConfig, hi_w: int, hi_h: int,
             cur_r = replicate_edges(cur_r)
             cur_g = replicate_edges(cur_g)
             cur_b = replicate_edges(cur_b)
-            lum0 = _luma(cur_r, cur_g, cur_b)
+            # Luma is pointwise-linear, so it commutes with the clamped
+            # shifts: shift ONE prescaled luma plane per tap instead of
+            # recomputing luma from the three shifted color planes.
+            lum_s = _luma(cur_r, cur_g, cur_b) * inv_c
 
             # Tap order (ky, kx) ascending matches atrous.atrous_denoise's
             # Python loops, so float accumulation order is identical.
-            def tap_row(iy, carry):
+            acc_r = acc_g = acc_b = wsum = None
+            for iy in range(5):
                 oy = (iy - 2) * dstep
-                top, bot = row_masks(oy)
-                rcr = srow(cur_r, oy, top, bot)
-                rcg = srow(cur_g, oy, top, bot)
-                rcb = srow(cur_b, oy, top, bot)
-                rnx = srow(nxu, oy, top, bot)
-                rny = srow(nyu, oy, top, bot)
-                rnz = srow(nzu, oy, top, bot)
-                rz = srow(z0, oy, top, bot)
-                rar = srow(a0r, oy, top, bot)
-                rag = srow(a0g, oy, top, bot)
-                rab = srow(a0b, oy, top, bot)
-                rs = srow(sky, oy, top, bot)
-                wy = k5(iy)
+                rcr = roll_r(cur_r, oy)
+                rcg = roll_r(cur_g, oy)
+                rcb = roll_r(cur_b, oy)
+                rls = roll_r(lum_s, oy)
+                rnx = roll_r(ns_x, oy)
+                rny = roll_r(ns_y, oy)
+                rnz = roll_r(ns_z, oy)
+                rz = roll_r(zs, oy)
+                rar = roll_r(ar_s, oy)
+                rag = roll_r(ag_s, oy)
+                rab = roll_r(ab_s, oy)
+                rs = roll_r(sky, oy)
+                wy = _K5[iy]
 
-                acc_r, acc_g, acc_b, wsum = carry
-                # Column taps unrolled: the offsets are static per
-                # iteration, so these are cheap static lane shifts; only
-                # 5 taps' temporaries are ever live at once.
                 for ix in range(5):
                     ox = (ix - 2) * dstep
                     w_base = _K5[ix] * wy
-                    c_r = scol_static(rcr, ox)
-                    c_g = scol_static(rcg, ox)
-                    c_b = scol_static(rcb, ox)
-                    dl = jnp.abs(_luma(c_r, c_g, c_b) - lum0)
-                    dn = jnp.maximum(0.0, 1.0 - (
-                        nxu * scol_static(rnx, ox)
-                        + nyu * scol_static(rny, ox)
-                        + nzu * scol_static(rnz, ox)))
-                    dzt = jnp.abs(scol_static(rz, ox) - z0)
-                    da = (jnp.abs(scol_static(rar, ox) - a0r)
-                          + jnp.abs(scol_static(rag, ox) - a0g)
-                          + jnp.abs(scol_static(rab, ox) - a0b))
-                    w = w_base * jnp.exp(-(dl * inv_c + dn * inv_n
-                                           + dzt * inv_z + da * inv_a))
-                    w = jnp.where(scol_static(rs, ox) == sky, w, 0.0)
-                    acc_r = acc_r + c_r * w
-                    acc_g = acc_g + c_g * w
-                    acc_b = acc_b + c_b * w
-                    wsum = wsum + w
-                return (acc_r, acc_g, acc_b, wsum)
-
-            z4 = jnp.zeros(shape, jnp.float32)
-            acc_r, acc_g, acc_b, wsum = jax.lax.fori_loop(
-                0, 5, tap_row, (z4, z4, z4, z4))
+                    c_r = roll_c(rcr, ox)
+                    c_g = roll_c(rcg, ox)
+                    c_b = roll_c(rcb, ox)
+                    arg = (jnp.abs(roll_c(rls, ox) - lum_s)
+                           + jnp.maximum(0.0, inv_n - (
+                               ns_x * roll_c(rnx, ox)
+                               + ns_y * roll_c(rny, ox)
+                               + ns_z * roll_c(rnz, ox)))
+                           + jnp.abs(roll_c(rz, ox) - zs)
+                           + jnp.abs(roll_c(rar, ox) - ar_s)
+                           + jnp.abs(roll_c(rag, ox) - ag_s)
+                           + jnp.abs(roll_c(rab, ox) - ab_s))
+                    w = w_base * jnp.exp(-arg)
+                    w = jnp.where(roll_c(rs, ox) == sky, w, 0.0)
+                    if wsum is None:
+                        acc_r = c_r * w
+                        acc_g = c_g * w
+                        acc_b = c_b * w
+                        wsum = w
+                    else:
+                        acc_r = acc_r + c_r * w
+                        acc_g = acc_g + c_g * w
+                        acc_b = acc_b + c_b * w
+                        wsum = wsum + w
             has_w = wsum > 1e-8
             inv_w = 1.0 / jnp.maximum(wsum, 1e-8)
             out_r = jnp.where(has_w, acc_r * inv_w, cur_r)
