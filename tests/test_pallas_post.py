@@ -70,7 +70,9 @@ def test_fused_post_gate():
     # 240x270 (64.8k px) needs ~18.2 MB of scoped VMEM on v5e — over the
     # 16 MB DEFAULT stack, but the kernel requests a 100 MB limit
     # (CompilerParams.vmem_limit_bytes; v5e has 128 MB physical VMEM), so
-    # it now fuses. The gate still rejects buffers that approach the
-    # raised limit (e.g. 240x135 at ss=2 = 259k px ~ 75 MB + temporaries).
+    # it fuses. The unrolled tap form also fits 480x540 (240x135 at ss=2,
+    # 259k px — validated on-chip), the largest shipped config; the gate
+    # still rejects sizes beyond what has been validated.
     assert pallas_post.post_fuse_ok(240, 270)
-    assert not pallas_post.post_fuse_ok(480, 540)
+    assert pallas_post.post_fuse_ok(480, 540)
+    assert not pallas_post.post_fuse_ok(480, 720)

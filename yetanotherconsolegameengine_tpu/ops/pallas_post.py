@@ -80,12 +80,13 @@ _K5 = (1.0 / 16.0, 1.0 / 4.0, 3.0 / 8.0, 1.0 / 4.0, 1.0 / 16.0)
 
 # VMEM budget gate: planes are hi_w*hi_h f32; ~25 live planes plus compiler
 # temporaries must fit the scoped-VMEM stack. Mosaic's DEFAULT stack is
-# 16 MB — 64.8k px (240x135 cells) measured 18.17 MB on v5e — but v5e
-# carries 128 MB of physical VMEM, so the kernel requests a 100 MB limit
-# (CompilerParams.vmem_limit_bytes) and the gate scales accordingly:
-# 18.17 MB / 64.8k px ~ 288 B/px -> ~100 MB covers ~350k px; 240k leaves
-# 2x headroom (240x135 at ss=2 = 259k px still takes the XLA stages).
-MAX_FUSED_PIXELS = 240_000
+# 16 MB — 64.8k px (240x135 cells) measured 18.17 MB on v5e under the old
+# fori_loop tap form — but v5e carries 128 MB of physical VMEM, so the
+# kernel requests a 100 MB limit (CompilerParams.vmem_limit_bytes). The
+# unrolled tap form compiles and runs at 480x540 (259k px — 240x135 at
+# ss=2, the largest shipped config; measured on-chip), so the gate now
+# admits it; 300k is the ceiling we have NOT validated beyond.
+MAX_FUSED_PIXELS = 300_000
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 
